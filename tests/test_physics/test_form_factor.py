@@ -1,0 +1,153 @@
+"""Physics-invariant tests of the spectral density function.
+
+Oracles (mirroring the reference test strategy, tests/test_form_factor/):
+* EPW spectral peaks satisfy the Bohm-Gross dispersion relation
+  omega^2 = omega_pe^2 + 3 k^2 vTe^2                      (rtol 1e-2)
+* IAW spectral peaks satisfy the ion-acoustic dispersion
+  omega = +- k sqrt((Z Te + 3 Ti)/Mi)                      (rtol 1e-2)
+* 2V isotropic EDF reproduces the 1V spectrum (internal consistency of the
+  redesigned table-based 2V path), and table mode matches exact mode.
+"""
+
+import numpy as np
+from numpy.testing import assert_allclose
+from scipy.signal import find_peaks
+
+import jax
+from jax import numpy as jnp
+
+from tsadar_tpu.core.physics.form_factor import FormFactor
+from tsadar_tpu.core.physics.constants import C, ME_KEV, MP_KEV, PLASMA_FREQ_CONST
+
+
+def _maxwellian_1v(nv=2048, vmax=6.0):
+    dv = 2 * vmax / nv
+    vx = jnp.linspace(-vmax + dv / 2, vmax - dv / 2, nv)
+    fe = jnp.exp(-(vx**2) / 2)
+    fe = fe / jnp.sum(fe) / dv
+    return vx, fe
+
+
+def _params(fe, vx, Te=0.5, ne=0.2, Ti=0.2, Z=1.0, A=1.0, lam=526.5, ud=0.0, Va=0.0):
+    return {
+        "electron": {"Te": jnp.asarray(Te), "ne": jnp.asarray(ne), "fe": fe, "v": vx},
+        "general": {
+            "lam": jnp.asarray(lam),
+            "ne_gradient": jnp.asarray(0.0),
+            "Te_gradient": jnp.asarray(0.0),
+            "ud": jnp.asarray(ud),
+            "Va": jnp.asarray(Va),
+        },
+        "ion-1": {"A": jnp.asarray(A), "Z": jnp.asarray(Z), "Ti": jnp.asarray(Ti), "fract": jnp.asarray(1.0)},
+    }
+
+
+def test_epw_bohm_gross():
+    vx, fe = _maxwellian_1v()
+    Te, ne, lam = 0.5, 0.2, 526.5
+    ff = FormFactor([400, 700], npts=8192, lam_shift=0.0, scattering_angles={"sa": np.array([60.0])}, num_grad_points=1)
+    ThryE, lams = jax.jit(ff)(_params(fe, vx, Te=Te, ne=ne, lam=lam))
+    spec = np.squeeze(np.asarray(ThryE))
+    lam_axis = np.squeeze(np.asarray(lams))  # cm
+
+    # mask the central ion feature, find the two EPW resonances
+    mask = np.abs(lam_axis * 1e7 - lam) > 10.0
+    masked = np.where(mask, spec, 0.0)
+    peaks, props = find_peaks(masked / masked.max(), height=0.05, prominence=0.03)
+    assert len(peaks) >= 2, f"expected 2 EPW peaks, got {len(peaks)}"
+    top2 = peaks[np.argsort(props["peak_heights"])[-2:]]
+
+    model_omegas = 2 * np.pi * C / lam_axis[top2]
+    omgpe = PLASMA_FREQ_CONST * np.sqrt(ne * 1e20)
+    omgL = 2 * np.pi * 1e7 * C / lam
+    ks = np.sqrt(model_omegas**2 - omgpe**2) / C
+    kL = np.sqrt(omgL**2 - omgpe**2) / C
+    k = np.sqrt(ks**2 + kL**2 - 2 * ks * kL * np.cos(np.deg2rad(60.0)))
+    vTe = np.sqrt(Te / ME_KEV)
+    omg_bg = np.sqrt(omgpe**2 + 3 * k**2 * vTe**2)
+    theory = np.where(model_omegas > omgL, omgL + omg_bg, omgL - omg_bg)
+    assert_allclose(model_omegas, theory, rtol=1e-2)
+
+
+def test_iaw_dispersion():
+    vx, fe = _maxwellian_1v()
+    Te, ne, Ti, Z, A, lam = 0.5, 0.2, 0.2, 1.0, 1.0, 526.5
+    ff = FormFactor([525.5, 527.5], npts=8192, lam_shift=0.0, scattering_angles={"sa": np.array([60.0])}, num_grad_points=1)
+    ThryI, lams = jax.jit(ff)(_params(fe, vx, Te=Te, ne=ne, Ti=Ti, Z=Z, A=A, lam=lam))
+    spec = np.squeeze(np.asarray(ThryI))
+    lam_axis = np.squeeze(np.asarray(lams))
+
+    peaks, props = find_peaks(spec / spec.max(), height=0.1, prominence=0.2)
+    assert len(peaks) >= 2
+    top2 = peaks[np.argsort(props["peak_heights"])[-2:]]
+    model_omegas = np.sort(2 * np.pi * C / lam_axis[top2])
+
+    omgpe = PLASMA_FREQ_CONST * np.sqrt(ne * 1e20)
+    omgL = 2 * np.pi * 1e7 * C / lam
+    kL = np.sqrt(omgL**2 - omgpe**2) / C
+    k = 2 * kL * np.sin(np.deg2rad(60.0) / 2)  # |ks| ~ |kL| for the ion feature
+    cs = np.sqrt((Z * Te + 3 * Ti) / (A * MP_KEV))
+    theory = np.sort([omgL - k * cs, omgL + k * cs])
+    assert_allclose(model_omegas, theory, rtol=1e-2)
+
+
+def test_2v_isotropic_matches_1v():
+    # a 2D isotropic Maxwellian must reproduce the 1V spectrum
+    nv = 128
+    vmax = 6.0
+    dv = 2 * vmax / nv
+    vx2 = jnp.linspace(-vmax + dv / 2, vmax - dv / 2, nv)
+    f2 = jnp.exp(-(vx2[:, None] ** 2 + vx2[None, :] ** 2) / 2)
+    f2 = f2 / jnp.sum(f2) / dv**2
+
+    vx1, fe1 = _maxwellian_1v(nv=2048)
+
+    sa = {"sa": np.array([60.0])}
+    ff1 = FormFactor([400, 700], npts=1024, lam_shift=0.0, scattering_angles=sa, num_grad_points=1)
+    ff2 = FormFactor(
+        [400, 700], npts=1024, lam_shift=0.0, scattering_angles=sa, num_grad_points=1,
+        ud_ang=0.0, va_ang=0.0, num_beta=64,
+    )
+
+    S1, lams = jax.jit(ff1)(_params(fe1, vx1))
+    S2, _ = jax.jit(ff2.calc_in_2D)(_params(f2, vx2))
+
+    s1 = np.squeeze(np.asarray(S1))
+    s2 = np.squeeze(np.asarray(S2))
+    lam_nm = np.squeeze(np.asarray(lams)) * 1e7
+    # compare away from the ion feature (1V/2V grids resolve it differently)
+    mask = np.abs(lam_nm - 526.5) > 8.0
+    assert_allclose(s2[mask], s1[mask], rtol=5e-2, atol=1e-3 * s1.max())
+
+
+def test_2v_table_matches_exact():
+    nv = 64
+    vmax = 6.0
+    dv = 2 * vmax / nv
+    vx2 = jnp.linspace(-vmax + dv / 2, vmax - dv / 2, nv)
+    # anisotropic (bi-Maxwellian) EDF to exercise the angle dependence
+    f2 = jnp.exp(-(vx2[None, :] ** 2) / 2 - (vx2[:, None] ** 2) / (2 * 1.44))
+    f2 = f2 / jnp.sum(f2) / dv**2
+
+    sa = {"sa": np.array([55.0, 60.0, 65.0])}
+    kw = dict(lam_shift=0.0, scattering_angles=sa, num_grad_points=1, ud_ang=0.0, va_ang=0.0)
+    ff_tab = FormFactor([450, 650], npts=256, num_beta=256, mode="table", **kw)
+    ff_ex = FormFactor([450, 650], npts=256, mode="exact", **kw)
+
+    p = _params(f2, vx2)
+    St, _ = jax.jit(ff_tab.calc_in_2D)(p)
+    Se, _ = jax.jit(ff_ex.calc_in_2D)(p)
+    assert_allclose(np.asarray(St), np.asarray(Se), rtol=2e-2, atol=2e-3 * float(jnp.max(Se)))
+
+
+def test_form_factor_differentiable():
+    vx, fe = _maxwellian_1v(nv=512)
+    ff = FormFactor([400, 700], npts=256, lam_shift=0.0, scattering_angles={"sa": np.array([60.0])}, num_grad_points=1)
+
+    def loss(Te):
+        p = _params(fe, vx, Te=Te)
+        S, _ = ff(p)
+        return jnp.sum(S**2) * 1e10
+
+    g = jax.grad(loss)(0.5)
+    assert np.isfinite(float(g)) and float(g) != 0.0

@@ -1,0 +1,383 @@
+"""Thomson-scattering spectral density function S(k, omega).
+
+From-scratch TPU-first implementation with feature parity to the reference
+``FormFactor`` (``/root/reference/tsadar/core/physics/form_factor.py``):
+
+* 1V electron distribution functions (``__call__``): multi-species ions, ne/Te
+  gradient profiles, drift (ud) and flow (Va) Doppler terms, multi-angle.
+  Reference: form_factor.py:163-298.
+* 2V (ARTS) numerical EDFs (``calc_in_2D``): k as a 2-vector, per-point electron
+  susceptibility from the projected, rotated EDF.  Reference: form_factor.py:449-587.
+
+TPU-first design decisions (all semantics-preserving):
+
+1. The plasma dispersion function Z' is evaluated directly (``zprime``) instead of
+   interpolating host-loaded tables (reference form_factor.py:20-45, 243-249).
+2. The electron chi_R pole sweep — reference: ``vmap(ratintn)`` over 1640 poles
+   x 1024 grid points (form_factor.py:263-271) — is a single broadcasted
+   ``pv_integral`` with no vmap and no complex arithmetic.
+3. The 2V hot loop — reference: ``jax.lax.map`` over ~1e5-1e6 points, each doing an
+   O(nvx^2) bicubic rotation of the full EDF (form_factor.py:349-429) — is
+   restructured: rotated 1D projections and their chi_R pole tables are built once
+   on a dense angle grid (a Radon transform of the EDF), then every evaluation
+   point does two bilinear gathers.  This is algorithmically ~nvx^2/4 times less
+   work with interpolation error no worse than the reference's per-point bicubic
+   resample for the smooth EDFs in play.  ``mode="exact"`` retains per-point
+   semantics for validation.
+4. No data-dependent control flow, static shapes everywhere, so the whole model
+   jits once and shards over a device mesh at the lineout-batch level.
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+from jax import numpy as jnp
+import jax
+
+from . import ratint
+from .constants import C, ME_KEV, MP_KEV, RE_CM, PLASMA_FREQ_CONST
+from .interp import interp1d_cubic, interp2d_cubic
+from .zprime import zprime
+
+
+class FormFactor:
+    """Spectral density function calculator.
+
+    Args:
+        lambda_range: (start, end) wavelengths [nm] for the spectrum.
+        npts: number of wavelength points.
+        lam_shift: spectral shift applied to the probe wavelength [nm].
+        scattering_angles: dict with "sa" (angles, degrees) and optionally weights.
+        num_grad_points: number of plasma-gradient sample points.
+        ud_ang: angle of electron drift from x-axis [deg] (2V only).
+        va_ang: angle of ion flow from x-axis [deg] (2V only).
+        num_beta: angle-grid resolution for the 2V projection tables.
+        mode: "table" (fast 2V path) or "exact" (per-point reference semantics).
+    """
+
+    def __init__(
+        self,
+        lambda_range,
+        npts,
+        lam_shift,
+        scattering_angles,
+        num_grad_points,
+        ud_ang=None,
+        va_ang=None,
+        num_beta=256,
+        mode="table",
+    ):
+        self.npts = npts
+        # xi grids for the electron chi_R pole sweep (reference form_factor.py:128-138)
+        self.h = 0.01
+        minmax = 8.2
+        h1 = 1024
+        lamAxis = np.linspace(lambda_range[0], lambda_range[1], npts)
+        self.omgL_num = 2.0 * np.pi * 1.0e7 * C
+        omgs = 2.0e7 * np.pi * C / lamAxis  # scattered frequency axis [1/s]
+        self.omgs = jnp.asarray(omgs)[None, :, None]  # [1, L, 1]
+
+        xi1 = np.linspace(-minmax - math.sqrt(2.0) / h1, minmax + math.sqrt(2.0) / h1, h1)
+        self.xi1 = jnp.asarray(xi1)
+        self.dxi1 = float(xi1[1] - xi1[0])
+        self.xi2 = jnp.asarray(np.arange(-minmax, minmax, self.h))
+
+        self.lam_shift = lam_shift
+        self.scattering_angles = {k: jnp.asarray(v) for k, v in scattering_angles.items()}
+        self.num_grad_points = num_grad_points
+        self.ud_angle = ud_ang
+        self.va_angle = va_ang
+        self.num_beta = num_beta
+        self.mode = mode
+
+    # ------------------------------------------------------------------ common
+
+    def _gradients(self, params):
+        """ne [G], Te [G] profiles from gradient percentages (form_factor.py:182-195)."""
+        g = jnp.linspace(
+            1.0 - params["general"]["ne_gradient"] / 200.0,
+            1.0 + params["general"]["ne_gradient"] / 200.0,
+            self.num_grad_points,
+        )
+        ne = 1.0e20 * params["electron"]["ne"] * g
+        t = jnp.linspace(
+            1.0 - params["general"]["Te_gradient"] / 200.0,
+            1.0 + params["general"]["Te_gradient"] / 200.0,
+            self.num_grad_points,
+        )
+        Te = params["electron"]["Te"] * t
+        return ne, Te
+
+    @staticmethod
+    def _ion_arrays(params):
+        """Stack per-species ion params to [1,1,1,S] (form_factor.py:197-200, 231-239)."""
+        keys = [k for k in params.keys() if "ion" in k]
+        A = jnp.stack([jnp.asarray(params[k]["A"], dtype=jnp.result_type(float)) for k in keys])
+        Z = jnp.stack([jnp.asarray(params[k]["Z"], dtype=jnp.result_type(float)) for k in keys])
+        Ti = jnp.stack([jnp.asarray(params[k]["Ti"], dtype=jnp.result_type(float)) for k in keys])
+        fract = jnp.stack([jnp.asarray(params[k]["fract"], dtype=jnp.result_type(float)) for k in keys])
+        rs = lambda x: x.reshape(1, 1, 1, -1)
+        return rs(A), rs(Z), rs(Ti), rs(fract)
+
+    def _ion_susceptibility(self, omgdop, k_mag, ne, Z, Ti, fract, A):
+        """chi_i summed over species + xii, kldi diagnostics (form_factor.py:231-249)."""
+        Mi = A * MP_KEV
+        Zbar = jnp.sum(Z * fract)
+        ni = fract * ne[..., None, None, None] / Zbar  # [G,1,1,S]
+        omgpi = PLASMA_FREQ_CONST * Z * jnp.sqrt(ni * ME_KEV / Mi)
+        vTi = jnp.sqrt(Ti / Mi)  # [1,1,1,S]
+        kldi = (vTi / omgpi) * k_mag[..., None]  # [G,L,A,S]
+
+        xii = (omgdop / k_mag)[..., None] / (jnp.sqrt(2.0) * vTi)
+        ZpiR, ZpiI = zprime(xii)
+        chiI_per = -0.5 / (kldi**2) * (ZpiR + 1j * ZpiI)
+        chiI = jnp.sum(chiI_per, axis=3)  # [G,L,A]
+        return chiI, xii, kldi, vTi, Zbar
+
+    def _assemble_spectrum(self, k_mag, chiE, chiI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne):
+        """Final S(k,w) assembly (form_factor.py:273-298)."""
+        epsilon = 1.0 + chiE + chiI
+
+        ion_comp_fact = jnp.transpose(fract * Z**2 / Zbar / vTi, [1, 0, 2, 3])
+        ion_comp = ion_comp_fact * (
+            jnp.abs(chiE[..., None]) ** 2.0 * jnp.exp(-(xii**2)) / jnp.sqrt(2.0 * jnp.pi)
+        )
+        ele_comp = jnp.abs(1.0 + chiI) ** 2.0 * fe_vphi / vTe
+
+        SKW_ion = jnp.sum(
+            1.0 / k_mag[..., None] * ion_comp / (jnp.abs(epsilon[..., None]) ** 2), axis=3
+        )
+        SKW_ele = 1.0 / k_mag * ele_comp / (jnp.abs(epsilon) ** 2)
+
+        PsOmg = (SKW_ion + SKW_ele) * (1.0 + 2.0 * omgdop / omgL) * RE_CM**2 * ne[:, None, None]
+        lams = 2.0 * jnp.pi * C / self.omgs
+        PsLam = PsOmg * 2.0 * jnp.pi * C / lams**2
+        return PsLam, lams
+
+    # -------------------------------------------------------------------- 1V
+
+    def __call__(self, params):
+        """S(k, omega) for 1D EDFs.  Shapes: [G, L, A] (+[S] internally).
+
+        Parity with the reference ``FormFactor.__call__`` (form_factor.py:163-298).
+        """
+        ne, Te = self._gradients(params)
+        lam = params["general"]["lam"] + self.lam_shift
+        Va = params["general"]["Va"] * 1e6  # 1e6 cm/s
+        ud = params["general"]["ud"] * 1e6
+        fe = jnp.squeeze(params["electron"]["fe"])
+        vx = jnp.squeeze(params["electron"]["v"])
+        A, Z, Ti, fract = self._ion_arrays(params)
+
+        sarad = (self.scattering_angles["sa"] * jnp.pi / 180.0).reshape(1, 1, -1)
+        omgL = self.omgL_num / lam
+
+        omgpe = PLASMA_FREQ_CONST * jnp.sqrt(ne[..., None, None])  # [G,1,1]
+        omg = self.omgs - omgL
+
+        ks = jnp.sqrt(self.omgs**2 - omgpe**2) / C
+        kL = jnp.sqrt(omgL**2 - omgpe**2) / C
+        k = jnp.sqrt(ks**2 + kL**2 - 2.0 * ks * kL * jnp.cos(sarad))  # [G,L,A]
+
+        omgdop = omg - k * Va
+
+        vTe = jnp.sqrt(Te[..., None, None] / ME_KEV)  # [G,1,1]
+        klde = (vTe / omgpe) * k
+
+        chiI, xii, kldi, vTi, Zbar = self._ion_susceptibility(omgdop, k, ne, Z, Ti, fract, A)
+
+        # electron susceptibility at xie (form_factor.py:253-271)
+        xie = omgdop / (k * vTe) - ud / vTe  # [G,L,A]
+        log_fe = jnp.log(fe)
+        fe_vphi = jnp.exp(interp1d_cubic(xie, vx, log_fe, extrap=(-50.0, -50.0)))
+
+        df = jnp.diff(fe_vphi, 1, axis=1) / jnp.diff(xie, 1, axis=1)
+        df = jnp.concatenate([df, jnp.zeros_like(df[:, :1, :])], axis=1)
+        chiEI = 1j * jnp.pi / (klde**2) * df
+
+        ratmod = jnp.exp(interp1d_cubic(self.xi1, vx, log_fe, extrap=(-50.0, -50.0)))
+        ratdf = jnp.gradient(ratmod, self.dxi1)
+        chiERratprim = ratint.pv_integral(ratdf, self.xi1, self.xi2)  # [1640]
+        chiERrat = jnp.interp(xie, self.xi2, chiERratprim)
+        chiERrat = -1.0 / (klde**2) * chiERrat
+
+        chiE = chiERrat + chiEI
+        return self._assemble_spectrum(
+            k, chiE, chiI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne
+        )
+
+    # -------------------------------------------------------------------- 2V
+
+    def rotate(self, vx, df, angle_deg):
+        """Rotate a 2D EDF grid so the new x-axis lies along ``angle_deg``.
+
+        Output[a, b] = f evaluated at R(angle) @ (vx[a], vx[b]) in the EDF's
+        native frame, i.e. index a runs along the rotated direction.
+        (Semantics of reference form_factor.py:300-324 with the axis convention
+        documented in utils.vector_tools.rotate_edf.)
+        """
+        beta = jnp.deg2rad(angle_deg)
+        c, s = jnp.cos(beta), jnp.sin(beta)
+        S, T = jnp.meshgrid(vx, vx, indexing="ij")  # S[a,b]=vx[a] along beta-hat
+        xq = c * S - s * T
+        yq = s * S + c * T
+        # df is indexed [vy, vx] (EDF convention) -> interp rows=y, cols=x
+        return interp2d_cubic(yq.ravel(), xq.ravel(), vx, vx, df, extrap=True).reshape(
+            (vx.size, vx.size)
+        )
+
+    def _project(self, vx, DF, beta):
+        """1D projection of the EDF along direction beta (Radon line integral).
+
+        f1D(t) = int f(t beta_hat + s beta_hat_perp) ds, sampled on the vx grid.
+        """
+        dvx = vx[1] - vx[0]
+        f2 = self.rotate(vx, DF, beta * 180.0 / jnp.pi)
+        return jnp.sum(f2, axis=1) * dvx  # integrate over the perpendicular axis
+
+    def calc_chi_vals(self, vx, DF, inputs):
+        """Per-point susceptibility (exact mode; reference form_factor.py:349-388)."""
+        beta, xie_mag_at, klde_mag_at = inputs
+        dvx = vx[1] - vx[0]
+        fe_1d = self._project(vx, DF, beta)
+        df = jnp.gradient(fe_1d, dvx)
+
+        fe_vphi = jnp.interp(xie_mag_at, vx, fe_1d)
+        dfe = jnp.interp(xie_mag_at, vx, df)
+
+        chiEI = jnp.pi / (klde_mag_at**2) * dfe
+        chiERrat = -1.0 / (klde_mag_at**2) * ratint.pv_integral(df, vx, xie_mag_at[None])[0]
+        return fe_vphi, chiEI, chiERrat
+
+    def _chi_tables(self, vx, DF):
+        """Projection + chi tables on a dense periodic angle grid (table mode).
+
+        Returns:
+            betas: [B] angle grid on [0, 2pi) (periodic).
+            f1d: [B, nvx] projections; df1d: [B, nvx] derivatives.
+            pole_grid: [P] positive pole locations.
+            chiR_tab: [B, P] principal-value integrals int df/(v - p) dv.
+        """
+        B = self.num_beta
+        betas = jnp.linspace(0.0, 2.0 * jnp.pi, B, endpoint=False)
+        dvx = vx[1] - vx[0]
+
+        def one(beta):
+            f1d = self._project(vx, DF, beta)
+            df1d = jnp.gradient(f1d, dvx)
+            return f1d, df1d
+
+        f1d, df1d = jax.lax.map(jax.checkpoint(one), betas, batch_size=32)
+
+        # pole grid: xie magnitudes are >= 0; cover [0, |vx|max] densely
+        P = 4 * vx.shape[0]
+        pole_grid = jnp.linspace(0.0, jnp.max(vx) * 1.0001 + 0.013 * dvx, P)
+        chiR_tab = jax.vmap(lambda d: ratint.pv_integral(d, vx, pole_grid))(df1d)  # [B,P]
+        return betas, f1d, df1d, pole_grid, chiR_tab
+
+    @staticmethod
+    def _interp_beta_v(table, v0, dv, beta_q, v_q):
+        """Bilinear interp of table[B, N] at (beta_q, v_q).
+
+        Periodic in beta (grid spacing 2pi/B starting at 0); uniform v axis with
+        origin v0 and spacing dv, clamped at the ends (jnp.interp edge behaviour).
+        Four scalar gathers per query point — no row materialization.
+        """
+        B, N = table.shape
+        dbeta = 2.0 * jnp.pi / B
+        bpos = (beta_q % (2.0 * jnp.pi)) / dbeta
+        ib0 = jnp.floor(bpos).astype(jnp.int32) % B
+        ib1 = (ib0 + 1) % B
+        wb = bpos - jnp.floor(bpos)
+
+        vpos = jnp.clip((v_q - v0) / dv, 0.0, N - 1.0)
+        iv0 = jnp.minimum(jnp.floor(vpos).astype(jnp.int32), N - 2)
+        iv1 = iv0 + 1
+        wv = vpos - iv0
+
+        t00 = table[ib0, iv0]
+        t01 = table[ib0, iv1]
+        t10 = table[ib1, iv0]
+        t11 = table[ib1, iv1]
+        return (1.0 - wb) * ((1.0 - wv) * t00 + wv * t01) + wb * ((1.0 - wv) * t10 + wv * t11)
+
+    def calc_all_chi_vals(self, vx, DF, beta, xie_mag, klde_mag):
+        """Susceptibility values for all evaluation points.
+
+        Table mode: two bilinear gathers per point into precomputed angle tables.
+        Exact mode: reference-parity per-point evaluation via lax.map chunks
+        (form_factor.py:419-421).
+        """
+        if self.mode == "exact":
+            flat = (beta.reshape(-1), xie_mag.reshape(-1), klde_mag.reshape(-1))
+            fe_vphi, chiEI, chiERrat = jax.lax.map(
+                partial(self.calc_chi_vals, vx, jnp.squeeze(DF)), flat, batch_size=128
+            )
+            reshape = lambda a: a.reshape(beta.shape)
+            return reshape(fe_vphi), reshape(chiEI), reshape(chiERrat)
+
+        betas, f1d, df1d, pole_grid, chiR_tab = self._chi_tables(vx, jnp.squeeze(DF))
+
+        dvx = vx[1] - vx[0]
+        dpole = pole_grid[1] - pole_grid[0]
+        fe_vphi = self._interp_beta_v(f1d, vx[0], dvx, beta, xie_mag)
+        dfe = self._interp_beta_v(df1d, vx[0], dvx, beta, xie_mag)
+        chiR_raw = self._interp_beta_v(chiR_tab, pole_grid[0], dpole, beta, xie_mag)
+
+        chiEI = jnp.pi / (klde_mag**2) * dfe
+        chiERrat = -1.0 / (klde_mag**2) * chiR_raw
+        return fe_vphi, chiEI, chiERrat
+
+    def calc_in_2D(self, params):
+        """S(k, omega) for a 2D numerical EDF (reference form_factor.py:449-587)."""
+        from ...utils.vector_tools import vsub, vdot
+
+        ne, Te = self._gradients(params)
+        lam = params["general"]["lam"] + self.lam_shift
+        A, Z, Ti, fract = self._ion_arrays(params)
+        Va_mag = params["general"]["Va"] * 1e6
+        ud_mag = params["general"]["ud"] * 1e6
+        fe = params["electron"]["fe"]
+        vx = jnp.squeeze(params["electron"]["v"])
+
+        sarad = (self.scattering_angles["sa"] * jnp.pi / 180.0).reshape(1, 1, -1)
+        va_ang = 0.0 if self.va_angle is None else self.va_angle
+        ud_ang = 0.0 if self.ud_angle is None else self.ud_angle
+        Va = (
+            Va_mag * jnp.cos(va_ang * jnp.pi / 180.0),
+            Va_mag * jnp.sin(va_ang * jnp.pi / 180.0),
+        )
+        ud = (
+            ud_mag * jnp.cos(ud_ang * jnp.pi / 180.0),
+            ud_mag * jnp.sin(ud_ang * jnp.pi / 180.0),
+        )
+
+        omgL = self.omgL_num / lam
+        omgpe = PLASMA_FREQ_CONST * jnp.sqrt(ne[..., None, None])
+        omg = self.omgs - omgL
+
+        kL = (jnp.sqrt(omgL**2 - omgpe**2) / C, jnp.zeros_like(omgpe))
+        ks_mag = jnp.sqrt(self.omgs**2 - omgpe**2) / C
+        ks = (jnp.cos(sarad) * ks_mag, jnp.sin(sarad) * ks_mag)
+        k = vsub(ks, kL)
+        k_mag = jnp.sqrt(vdot(k, k))  # [G,L,A]
+
+        omgdop = omg - vdot(k, Va)
+
+        vTe = jnp.sqrt(Te[..., None, None] / ME_KEV)
+        klde_mag = (vTe / omgpe) * k_mag
+
+        chiI, xii, kldi, vTi, Zbar = self._ion_susceptibility(omgdop, k_mag, ne, Z, Ti, fract, A)
+
+        # electron phase-velocity vectors (form_factor.py:549-558)
+        xie = tuple((omgdop / k_mag**2 * kc - uc) / vTe for kc, uc in zip(k, ud))
+        xie_mag = jnp.sqrt(vdot(xie, xie))
+        beta = jnp.arctan2(xie[1], xie[0])  # angle of xie from x-axis, [-pi, pi)
+
+        fe_vphi, chiEI, chiERrat = self.calc_all_chi_vals(vx, fe, beta, xie_mag, klde_mag)
+
+        chiE = chiERrat + 1j * chiEI
+        return self._assemble_spectrum(
+            k_mag, chiE, chiI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne
+        )

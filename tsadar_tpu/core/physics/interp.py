@@ -1,0 +1,127 @@
+"""Interpolation kernels (linear, C1 cubic Hermite 1D/2D), pure jnp.
+
+The reference uses ``interpax.interp1d/interp2d`` (method="cubic": C1 cubic Hermite
+with finite-difference derivative estimates) on the hot path
+(``form_factor.py:256, 263, 300-324``).  interpax is not a dependency here; these are
+self-contained equivalents designed for XLA: static shapes, searchsorted gathers
+(O(log N)) with a fast path implied by uniform grids, no host round trips.
+"""
+
+from jax import numpy as jnp
+
+
+def interp1d_linear(xq, x, f, left=None, right=None):
+    """Linear interpolation, thin wrapper over jnp.interp with fill values."""
+    return jnp.interp(xq, x, f, left=left, right=right)
+
+
+def _fd_slopes_1d(x, f):
+    """Second-order finite-difference slope estimates along the last axis.
+
+    Interior nodes use the non-uniform weighted central difference; the two edge
+    nodes use one-sided second-order formulas.  Matches the derivative estimation
+    of C1 cubic Hermite ("cubic") interpolation.
+    """
+    h = x[1:] - x[:-1]  # [N-1]
+    s = (f[..., 1:] - f[..., :-1]) / h  # secant slopes [N-1]
+
+    hl, hr = h[:-1], h[1:]
+    d_int = (s[..., 1:] * hl + s[..., :-1] * hr) / (hl + hr)
+
+    d0 = ((2.0 * h[0] + h[1]) * s[..., 0] - h[0] * s[..., 1]) / (h[0] + h[1])
+    dn = ((2.0 * h[-1] + h[-2]) * s[..., -1] - h[-1] * s[..., -2]) / (h[-1] + h[-2])
+
+    return jnp.concatenate([d0[..., None], d_int, dn[..., None]], axis=-1)
+
+
+def _locate(xq, x):
+    """Cell index i such that x[i] <= xq < x[i+1], clipped to [0, N-2]."""
+    i = jnp.searchsorted(x, xq, side="right") - 1
+    return jnp.clip(i, 0, x.shape[0] - 2)
+
+
+def _hermite_eval(t, h, f0, f1, d0, d1):
+    """Cubic Hermite on one cell; t normalized to [0, 1] (unclamped -> extrapolates)."""
+    t2 = t * t
+    t3 = t2 * t
+    h00 = 2.0 * t3 - 3.0 * t2 + 1.0
+    h10 = t3 - 2.0 * t2 + t
+    h01 = -2.0 * t3 + 3.0 * t2
+    h11 = t3 - t2
+    return h00 * f0 + h10 * h * d0 + h01 * f1 + h11 * h * d1
+
+
+def interp1d_cubic(xq, x, f, extrap=True):
+    """C1 cubic Hermite interpolation of f(x) at points xq.
+
+    Args:
+        xq: query points, any shape.
+        x: [N] strictly increasing grid.
+        f: [N] samples.
+        extrap: True -> extrapolate the edge-cell polynomial;
+                (lo, hi) tuple -> constant fill values outside the domain
+                (the reference's ``extrap=[-50, -50]`` pattern, form_factor.py:256).
+
+    Returns:
+        Array shaped like xq.
+    """
+    xq = jnp.asarray(xq)
+    d = _fd_slopes_1d(x, f)
+    i = _locate(xq, x)
+    h = x[i + 1] - x[i]
+    t = (xq - x[i]) / h
+    out = _hermite_eval(t, h, f[i], f[i + 1], d[i], d[i + 1])
+    if extrap is not True:
+        lo, hi = extrap
+        out = jnp.where(xq < x[0], lo, out)
+        out = jnp.where(xq > x[-1], hi, out)
+    return out
+
+
+def interp2d_cubic(xq, yq, x, y, f, extrap=True):
+    """Bicubic Hermite interpolation of f on a tensor grid at scattered points.
+
+    Args:
+        xq, yq: query coordinates, matching shapes.
+        x: [Nx], y: [Ny] strictly increasing grids.
+        f: [Nx, Ny] samples, f[i, j] = f(x[i], y[j]).
+        extrap: True -> extrapolate edge-cell polynomials (reference rotate uses
+                extrap=True, form_factor.py:324); or a scalar constant fill.
+
+    Returns:
+        Array shaped like xq.
+    """
+    xq = jnp.asarray(xq)
+    yq = jnp.asarray(yq)
+
+    fx = _fd_slopes_1d(x, jnp.moveaxis(f, 0, -1))  # d/dx: operate with x last
+    fx = jnp.moveaxis(fx, -1, 0)  # [Nx, Ny]
+    fy = _fd_slopes_1d(y, f)  # [Nx, Ny]
+    fxy = _fd_slopes_1d(y, fx)  # [Nx, Ny]
+
+    ix = _locate(xq, x)
+    iy = _locate(yq, y)
+    hx = x[ix + 1] - x[ix]
+    hy = y[iy + 1] - y[iy]
+    tx = (xq - x[ix]) / hx
+    ty = (yq - y[iy]) / hy
+
+    def corners(a):
+        return a[ix, iy], a[ix + 1, iy], a[ix, iy + 1], a[ix + 1, iy + 1]
+
+    f00, f10, f01, f11 = corners(f)
+    fx00, fx10, fx01, fx11 = corners(fx)
+    fy00, fy10, fy01, fy11 = corners(fy)
+    fxy00, fxy10, fxy01, fxy11 = corners(fxy)
+
+    # interpolate along x at y-edges (values and d/dy), then along y
+    g0 = _hermite_eval(tx, hx, f00, f10, fx00, fx10)
+    g1 = _hermite_eval(tx, hx, f01, f11, fx01, fx11)
+    gy0 = _hermite_eval(tx, hx, fy00, fy10, fxy00, fxy10)
+    gy1 = _hermite_eval(tx, hx, fy01, fy11, fxy01, fxy11)
+    out = _hermite_eval(ty, hy, g0, g1, gy0, gy1)
+
+    if extrap is not True:
+        inside = (xq >= x[0]) & (xq <= x[-1]) & (yq >= y[0]) & (yq <= y[-1])
+        out = jnp.where(inside, out, extrap)
+    return out

@@ -1,0 +1,89 @@
+"""Plasma dispersion function derivative Z'(xi), computed directly.
+
+The reference implementation (``/root/reference/tsadar/core/physics/form_factor.py:20-45``,
+``zprimeMaxw``) interpolates tabulated values of Re/Im Z' from ``rdWT.txt``/``idWT.txt``
+on xi in [-10, 10] and falls back to the asymptote xi^-2 outside.
+
+We instead evaluate Z' analytically through the Dawson function
+
+    Re Z'(xi) = -2 (1 - 2 xi D(xi))
+    Im Z'(xi) = -2 sqrt(pi) xi exp(-xi^2)
+
+which reproduces the reference tables (verified: Im to 5e-6 abs, Re to the table's own
+precision ~1e-3 abs) and the xi^-2 asymptote automatically, is differentiable, and
+requires no data assets or host-side interpolation.  The Dawson function is evaluated
+with Rybicki's exponentially convergent sampling series for |x| <= 6 and the
+asymptotic (2n-1)!! series beyond, both pure jnp and TPU-friendly (no gathers, no
+data-dependent control flow).  Gradients use the exact identity D'(x) = 1 - 2 x D(x)
+via custom_jvp.
+"""
+
+from functools import partial
+
+import jax
+from jax import numpy as jnp
+
+# Rybicki sampling parameters: error ~ exp(-(pi/(2h))^2) ~ 7e-18 for h = 0.25.
+# Odd multiples of h must cover |x - k h| <~ 7 for |x| <= 6.5 -> k in [-55, 55].
+_RYBICKI_H = 0.25
+_RYBICKI_K = jnp.arange(-55.0, 56.0, 2.0)  # odd integers
+
+
+def _dawsn_rybicki(x):
+    # D(x) = lim_{h->0} (1/sqrt(pi)) sum_{k odd} exp(-(x - k h)^2) / k
+    kh = _RYBICKI_K * _RYBICKI_H
+    terms = jnp.exp(-((x[..., None] - kh) ** 2)) / _RYBICKI_K
+    return jnp.sum(terms, axis=-1) / jnp.sqrt(jnp.pi)
+
+
+def _dawsn_asymptotic(x):
+    # D(x) ~ 1/(2x) * sum_n (2n-1)!! (1/(2x^2))^n,  6 terms
+    xs = jnp.where(jnp.abs(x) > 1.0, x, 1.0)  # guard unused branch
+    s = 1.0 / (2.0 * xs * xs)
+    series = 1.0 + s * (
+        1.0 + s * (3.0 + s * (15.0 + s * (105.0 + s * (945.0 + s * 10395.0))))
+    )
+    return series / (2.0 * xs)
+
+
+@jax.custom_jvp
+def dawsn(x):
+    """Dawson integral D(x) = exp(-x^2) int_0^x exp(t^2) dt, elementwise."""
+    x = jnp.asarray(x)
+    small = jnp.abs(x) <= 6.0
+    # evaluate rybicki on a clipped argument so the unused branch stays finite
+    xr = jnp.clip(x, -6.5, 6.5)
+    return jnp.where(small, _dawsn_rybicki(xr), _dawsn_asymptotic(x))
+
+
+@dawsn.defjvp
+def _dawsn_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    d = dawsn(x)
+    return d, (1.0 - 2.0 * x * d) * dx
+
+
+def zprime(xi):
+    """Derivative of the Maxwellian plasma dispersion function, elementwise.
+
+    Returns:
+        (reZp, imZp): real and imaginary parts of Z'(xi), each shaped like ``xi``.
+
+    Matches the convention of the reference tables (``form_factor.py:243-249``):
+    Re Z' -> xi^-2 as |xi| -> inf, Im Z' -> 0.
+    """
+    xi = jnp.asarray(xi)
+    re = -2.0 * (1.0 - 2.0 * xi * dawsn(xi))
+    im = -2.0 * jnp.sqrt(jnp.pi) * xi * jnp.exp(-(xi**2))
+    return re, im
+
+
+def zprimeMaxw(xi):
+    """Reference-API-compatible wrapper: returns a [2, ...] stack (real; imag).
+
+    Mirrors ``zprimeMaxw`` in the reference (``form_factor.py:20-45``) but computes
+    the values directly instead of loading tables.
+    """
+    re, im = zprime(xi)
+    return jnp.stack([re, im])
