@@ -29,7 +29,9 @@ def test_dawsn_grad_identity():
     # D'(x) = 1 - 2 x D(x), exact via custom_jvp
     x = jnp.linspace(-8.0, 8.0, 101)
     g = jax.vmap(jax.grad(dawsn))(x)
-    assert_allclose(np.asarray(g), 1.0 - 2.0 * np.asarray(x) * sps.dawsn(np.asarray(x)), rtol=1e-7)
+    assert_allclose(
+        np.asarray(g), 1.0 - 2.0 * np.asarray(x) * sps.dawsn(np.asarray(x)), rtol=1e-6, atol=1e-7
+    )
 
 
 @pytest.mark.skipif(not os.path.exists(os.path.join(REF_FILES, "rdWT.txt")), reason="no reference tables")
