@@ -1,0 +1,162 @@
+"""Spectrum assembly: EPW + IAW features, aperture weighting, notch filters.
+
+Parity with the reference ``FitModel``
+(``/root/reference/tsadar/core/physics/generate_spectra.py``): owns electron and
+ion FormFactor instances with separate wavelength ranges, dispatches 1V/2V on the
+EDF dimension, averages over gradient points, weights and sums over scattering
+angles (matmul against the fine-angle weight matrix for ARTS), and applies the
+iawoff/iawfilter spectral notches.
+
+Deviation (documented): the reference's ``iawoff`` concatenation
+(generate_spectra.py:200-208) computes dynamically-shaped slices that cannot jit
+(and whose slice sizes are negative for ascending wavelength axes); we implement
+the stated intent — zero the ion feature within +-3 nm of the probe — as a
+where-mask.
+"""
+
+from typing import Dict
+
+from jax import numpy as jnp
+
+from .form_factor import FormFactor
+
+
+class SpectrumModel:
+    """FitModel-equivalent spectrum generator."""
+
+    def __init__(self, config: Dict, scattering_angles: Dict, mode_2v: str = "table"):
+        self.config = config
+        self.scattering_angles = {k: jnp.asarray(v) for k, v in scattering_angles.items()}
+
+        assert (
+            config["parameters"]["general"]["Te_gradient"]["num_grad_points"]
+            == config["parameters"]["general"]["ne_gradient"]["num_grad_points"]
+        ), "Number of gradient points for Te and ne must be the same"
+        num_grad_points = config["parameters"]["general"]["Te_gradient"]["num_grad_points"]
+
+        self.dim = config["parameters"]["electron"]["fe"]["dim"]
+        ud_angle = None if self.dim < 2 else config["parameters"]["general"]["ud"]["angle"]
+        va_angle = None if self.dim < 2 else config["parameters"]["general"]["Va"]["angle"]
+
+        self.electron_form_factor = FormFactor(
+            config["other"]["lamrangE"],
+            npts=config["other"]["npts"],
+            lam_shift=config["data"]["ele_lam_shift"],
+            scattering_angles=self.scattering_angles,
+            num_grad_points=num_grad_points,
+            ud_ang=ud_angle,
+            va_ang=va_angle,
+            mode=mode_2v,
+        )
+        self.ion_form_factor = FormFactor(
+            config["other"]["lamrangI"],
+            npts=config["other"]["npts"],
+            lam_shift=0,
+            scattering_angles=self.scattering_angles,
+            num_grad_points=num_grad_points,
+            ud_ang=ud_angle,
+            va_ang=va_angle,
+            mode=mode_2v,
+        )
+
+    def __call__(self, all_params: Dict):
+        lamAxisI, modlI = self.ion_spectrum(all_params)
+        lamAxisE, modlE = self.electron_spectrum(all_params)
+        return modlE, modlI, lamAxisE, lamAxisI
+
+    def _raw(self, form_factor, all_params):
+        if self.dim == 1:
+            return form_factor(all_params)
+        return form_factor.calc_in_2D(all_params)
+
+    def ion_spectrum(self, all_params):
+        """IAW feature (reference generate_spectra.py:139-169)."""
+        if not self.config["other"]["extraoptions"]["load_ion_spec"]:
+            return jnp.zeros(1), jnp.zeros(1)
+        ThryI, lamAxisI = self._raw(self.ion_form_factor, all_params)
+        lamAxisI = jnp.squeeze(lamAxisI) * 1e7  # cm -> nm
+        ThryI = jnp.mean(ThryI, axis=0)
+        modlI = jnp.sum(ThryI * self.scattering_angles["weights"][0], axis=1)
+        return lamAxisI, modlI
+
+    def electron_spectrum(self, all_params):
+        """EPW feature with angle weighting and notches (reference :171-220)."""
+        if not self.config["other"]["extraoptions"]["load_ele_spec"]:
+            return jnp.zeros(1), jnp.zeros(1)
+        ThryE, lamAxisE = self._raw(self.electron_form_factor, all_params)
+        lamAxisE = jnp.squeeze(lamAxisE) * 1e7
+
+        ThryE = jnp.mean(ThryE, axis=0)
+        if self.config["other"]["extraoptions"]["spectype"] == "angular_full":
+            modlE = jnp.matmul(self.scattering_angles["weights"], ThryE.transpose())
+        else:
+            modlE = jnp.sum(ThryE * self.scattering_angles["weights"][0], axis=1)
+
+        lam = all_params["general"]["lam"]
+        lamrangE = self.config["other"]["lamrangE"]
+        if self.config["other"]["iawoff"]:
+            # zero the ion feature within +-3 nm of the probe, if inside the range
+            notch = (lamAxisE > lam - 3.0) & (lamAxisE < lam + 3.0)
+            modlE = jnp.where(notch, 0.0, modlE)
+
+        if self.config["other"]["iawfilter"][0]:
+            filterb = self.config["other"]["iawfilter"][3] - self.config["other"]["iawfilter"][2] / 2
+            filterr = self.config["other"]["iawfilter"][3] + self.config["other"]["iawfilter"][2] / 2
+            if lamrangE[0] < filterr and lamrangE[1] > filterb:
+                indices = (filterb < lamAxisE) & (filterr > lamAxisE)
+                modlE = jnp.where(
+                    indices, modlE * 10.0 ** (-self.config["other"]["iawfilter"][1]), modlE
+                )
+        return lamAxisE, modlE
+
+    # -------- detailed (per-component) variants for postprocessing plots --------
+
+    def detailed_spectrum(self, all_params: Dict):
+        """Total + unreduced component spectra (reference :222-338)."""
+        lamAxisI, modlI, ThryI = self.ion_spectrum_detailed(all_params)
+        lamAxisE, modlE, ThryE = self.electron_spectrum_detailed(all_params)
+        return modlE, modlI, ThryE, ThryI, lamAxisE, lamAxisI
+
+    def ion_spectrum_detailed(self, all_params):
+        if not self.config["other"]["extraoptions"]["load_ion_spec"]:
+            return jnp.zeros(1), jnp.zeros(1), jnp.zeros(1)
+        ThryI, lamAxisI = self._raw(self.ion_form_factor, all_params)
+        lamAxisI = jnp.squeeze(lamAxisI) * 1e7
+        modlI = jnp.mean(ThryI, axis=0)
+        modlI = jnp.sum(modlI * self.scattering_angles["weights"][0], axis=1)
+        return lamAxisI, modlI, ThryI
+
+    def electron_spectrum_detailed(self, all_params):
+        if not self.config["other"]["extraoptions"]["load_ele_spec"]:
+            return jnp.zeros(1), jnp.zeros(1), jnp.zeros(1)
+        ThryE_raw, lamAxisE_orig = self._raw(self.electron_form_factor, all_params)
+        lamAxisE_orig = lamAxisE_orig * 1e7
+        lamAxisE = jnp.squeeze(lamAxisE_orig)
+
+        modlE = jnp.mean(ThryE_raw, axis=0)
+        if self.config["other"]["extraoptions"]["spectype"] == "angular_full":
+            modlE = jnp.matmul(self.scattering_angles["weights"], modlE.transpose())
+        else:
+            modlE = jnp.sum(modlE * self.scattering_angles["weights"][0], axis=1)
+
+        lam = all_params["general"]["lam"]
+        ThryE = ThryE_raw
+        if self.config["other"]["iawoff"]:
+            notch = (lamAxisE > lam - 3.0) & (lamAxisE < lam + 3.0)
+            modlE = jnp.where(notch, 0.0, modlE)
+        if self.config["other"]["iawfilter"][0]:
+            filterb = self.config["other"]["iawfilter"][3] - self.config["other"]["iawfilter"][2] / 2
+            filterr = self.config["other"]["iawfilter"][3] + self.config["other"]["iawfilter"][2] / 2
+            lamrangE = self.config["other"]["lamrangE"]
+            if lamrangE[0] < filterr and lamrangE[1] > filterb:
+                indices = (filterb < lamAxisE) & (filterr > lamAxisE)
+                modlE = jnp.where(
+                    indices, modlE * 10.0 ** (-self.config["other"]["iawfilter"][1]), modlE
+                )
+                indices_orig = (filterb < lamAxisE_orig) & (filterr > lamAxisE_orig)
+                ThryE = jnp.where(indices_orig, ThryE * 10.0 ** (-9), ThryE)
+        return lamAxisE, modlE, ThryE
+
+
+# reference-name alias (generate_spectra.FitModel)
+FitModel = SpectrumModel
