@@ -1,0 +1,131 @@
+"""Synthetic round-trip inverse test (port of reference tests/test_inverse/test_1d_random.py).
+
+Generate spectra from perturbed ground-truth parameters, refit from a different
+random initialization, and assert every active parameter is recovered to rtol 0.1.
+Exercised twice: through the host scipy L-BFGS-B path (reference default) and the
+TPU-first device-resident optax L-BFGS path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+from numpy.testing import assert_allclose
+
+import jax
+from jax import numpy as jnp
+from jax.flatten_util import ravel_pytree
+from scipy.optimize import minimize
+
+from tsadar_tpu.utils.config import merge_configs, set_forward_ranges, flatten
+from tsadar_tpu.utils.data_handling.calibration import get_scattering_angles
+from tsadar_tpu.core.diagnostic import ThomsonScatteringDiagnostic
+from tsadar_tpu.core.params import ThomsonParams, get_filter_spec, partition, combine
+
+HERE = os.path.dirname(__file__)
+CONFIGS = os.path.join(HERE, "..", "configs")
+
+DUMMY_BATCH = {
+    "i_data": np.array([1]),
+    "e_data": np.array([1]),
+    "noise_e": np.array([0]),
+    "noise_i": np.array([0]),
+    "e_amps": np.array([1]),
+    "i_amps": np.array([1]),
+}
+
+
+def _load_config():
+    with open(os.path.join(CONFIGS, "1d-defaults.yaml")) as fi:
+        defaults = yaml.safe_load(fi)
+    with open(os.path.join(CONFIGS, "1d-inputs.yaml")) as fi:
+        inputs = yaml.safe_load(fi)
+    return set_forward_ranges(merge_configs(defaults, inputs))
+
+
+def _perturb(rng, params):
+    params["electron"]["fe"]["params"]["m"]["val"] = float(rng.uniform(2.0, 3.5))
+    params["electron"]["Te"]["val"] = float(rng.uniform(0.5, 1.5))
+    params["electron"]["ne"]["val"] = float(rng.uniform(0.1, 0.7))
+    params["general"]["amp1"]["val"] = float(rng.uniform(0.5, 2.5))
+    params["general"]["amp2"]["val"] = float(rng.uniform(0.5, 2.5))
+    params["general"]["lam"]["val"] = float(rng.uniform(523, 527))
+    return params
+
+
+def _scalars(unnormed):
+    out = {}
+    for k, v in flatten(unnormed).items():
+        arr = np.asarray(v)
+        if arr.ndim <= 1 and arr.size >= 1 and k[-1] not in ("f", "fe", "flm"):
+            out[k] = float(arr.reshape(-1)[0])
+    return out
+
+
+def _setup(seed=42):
+    config = _load_config()
+    sas = get_scattering_angles(config)
+    rng = np.random.default_rng(seed)
+    config["parameters"] = _perturb(rng, config["parameters"])
+    ts_diag = ThomsonScatteringDiagnostic(config, scattering_angles=sas)
+    ts_params_gt = ThomsonParams.create(config["parameters"], num_params=1, batch=True, activate=True)
+    ThryE_gt, *_ = ts_diag(ts_params_gt, DUMMY_BATCH)
+
+    config["parameters"] = _perturb(rng, config["parameters"])
+    ts_params_fit = ThomsonParams.create(config["parameters"], num_params=1, batch=True, activate=True)
+    spec = get_filter_spec(config["parameters"], ts_params_fit)
+    diff0, static = partition(ts_params_fit, spec)
+
+    def loss_fn(dp):
+        full = combine(dp, static)
+        ThryE, *_ = ts_diag(full, DUMMY_BATCH)
+        return jnp.mean(jnp.square(ThryE - ThryE_gt))
+
+    return config, ts_params_gt, diff0, static, loss_fn
+
+
+def _assert_recovered(gt_params, learned_params):
+    gt = _scalars(gt_params.get_unnormed_params())
+    learned = _scalars(learned_params.get_unnormed_params())
+    for key, val in gt.items():
+        assert_allclose(learned[key], val, rtol=0.1, err_msg=str(key))
+
+
+def test_1d_inverse_scipy_lbfgsb():
+    config, gt, diff0, static, loss_fn = _setup(seed=42)
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    x0, unravel = ravel_pytree(diff0)
+
+    def scipy_vg(x):
+        value, grads = vg(unravel(x))
+        return float(value), np.asarray(ravel_pytree(grads)[0], dtype=np.float64)
+
+    res = minimize(scipy_vg, np.asarray(x0, dtype=np.float64), method="L-BFGS-B", jac=True)
+    assert res["fun"] < 1e-4, f"loss {res['fun']}"
+    _assert_recovered(gt, combine(unravel(res["x"]), static))
+
+
+def test_1d_inverse_device_lbfgs():
+    import optax
+
+    config, gt, diff0, static, loss_fn = _setup(seed=7)
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def step(carry, _):
+        dp, state = carry
+        value, grad = value_and_grad(dp, state=state)
+        updates, state = opt.update(grad, state, dp, value=value, grad=grad, value_fn=loss_fn)
+        dp = optax.apply_updates(dp, updates)
+        return (dp, state), value
+
+    @jax.jit
+    def run(dp):
+        state = opt.init(dp)
+        (dp, _), values = jax.lax.scan(step, (dp, state), None, length=150)
+        return dp, values
+
+    dp, values = run(diff0)
+    assert float(values[-1]) < 1e-4, f"loss {float(values[-1])}"
+    _assert_recovered(gt, combine(dp, static))

@@ -68,8 +68,12 @@ def _dlm_projected_table(nvx, vmax=VMAX_1V, n_m=31, m_lo=2.0, m_hi=5.0):
     for j, m in enumerate(ms):
         alpha = np.sqrt(3.0 * _gamma_np(3.0 / m) / (2.0 * _gamma_np(5.0 / m)))
         w = np.exp(-((u / (alpha * vth)) ** m)) * u
-        cum = np.concatenate([[0.0], np.cumsum(0.5 * (w[1:] + w[:-1]) * np.diff(u))])
-        tail = cum[-1] - np.interp(np.abs(vx), u, cum)
+        # tail integral accumulated from the far end so tiny tails stay accurate
+        # (forward cumsum would cancel catastrophically and underflow to 0,
+        # poisoning the log-space interpolation downstream)
+        seg = 0.5 * (w[1:] + w[:-1]) * np.diff(u)
+        tail_nodes = np.concatenate([np.cumsum(seg[::-1])[::-1], [0.0]])
+        tail = np.interp(np.abs(vx), u, tail_nodes)
         table[:, j] = tail / np.trapezoid(tail, vx)
     return vx, ms, table
 

