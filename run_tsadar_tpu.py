@@ -1,0 +1,34 @@
+"""CLI entry point (parity with /root/reference/run_tsadar.py).
+
+    python run_tsadar_tpu.py --cfg <config_dir> --mode {fit,forward,series}
+"""
+
+import argparse
+import os
+
+from jax import config as jax_config
+
+# reference default: float64 + no XLA preallocation (run_tsadar.py:4-9).
+# On TPU (axon) f64/c128 are unsupported; x64 is enabled on CPU only.
+os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
+import jax
+
+if jax.default_backend() == "cpu":
+    jax_config.update("jax_enable_x64", True)
+
+from tsadar_tpu.runner import run, run_job
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="TPU-native Thomson scattering analysis")
+    parser.add_argument("--cfg", help="config directory containing defaults.yaml and inputs.yaml")
+    parser.add_argument("--run_id", help="run id to resume (queued runs)")
+    parser.add_argument("--mode", default="fit", help="fit, forward, or series")
+    args = parser.parse_args()
+
+    if args.run_id is not None:
+        run_job(args.run_id, mode=args.mode, nested=False)
+    else:
+        run(args.cfg, mode=args.mode)
+
+    if "MLFLOW_EXPORT" in os.environ:
+        print("MLFLOW_EXPORT requested; S3 export requires mlflow_export_import (not installed)")

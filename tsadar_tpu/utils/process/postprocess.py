@@ -1,0 +1,283 @@
+"""Postprocessing: refit of bad lineouts, Hessian uncertainties, final outputs.
+
+Behavioral port of ``/root/reference/tsadar/utils/process/postprocess.py`` adapted
+to the batched-array parameter pytrees (the reference's per-lineout module-list
+surgery, postprocess.py:313-345, becomes plain indexed tree_maps) and with the
+Hessian taken over the flattened active-parameter vector, from which per-lineout
+blocks are extracted (cross-lineout blocks are zero by construction).
+"""
+
+import copy
+import os
+import tempfile
+import time
+from collections import defaultdict
+from typing import Dict
+
+import numpy as np
+
+import jax
+from jax.flatten_util import ravel_pytree
+
+from ...core.params import get_filter_spec, partition, combine
+from ...inverse.loss import LossFunction
+from .. import mlflow_shim as mlflow
+from ..config import flatten, unflatten
+from ..plotting import plotters
+
+
+def recalculate_with_chosen_weights(
+    config: Dict, sa, sample_indices, all_data: Dict, loss_fn: LossFunction, calc_sigma: bool, fitted_weights
+):
+    """Re-run the forward model with the best weights; optionally sigmas."""
+    losses = np.zeros_like(sample_indices, dtype=np.float64)
+    sample_indices.sort()
+    batch_indices = np.reshape(sample_indices, (-1, config["optimizer"]["batch_size"]))
+
+    all_params = {k: defaultdict(list) for k in config["parameters"].keys()}
+    num_params = 0
+    for _fw in fitted_weights:
+        batch_fitted_params, num_params = _fw.get_fitted_params(config["parameters"])
+        for k in batch_fitted_params.keys():
+            for k2 in batch_fitted_params[k].keys():
+                all_params[k][k2].append(batch_fitted_params[k][k2])
+
+    if config["other"]["extraoptions"]["spectype"] != "angular_full":
+        for k in all_params.keys():
+            for k2 in all_params[k].keys():
+                all_params[k][k2] = np.concatenate([np.atleast_1d(a) for a in all_params[k][k2]])
+
+    def _grid_shape(arr):
+        a = np.asarray(arr)
+        return a.shape if a.ndim == 2 else (len(sample_indices), 1)
+
+    e_shape, i_shape = _grid_shape(all_data["e_data"]), _grid_shape(all_data["i_data"])
+    fits = {
+        "ele": {"total_spec": np.zeros(e_shape)},
+        "ion": {"total_spec": np.zeros(i_shape)},
+    }
+    sqdevs = {"ion": np.zeros(i_shape), "ele": np.zeros(e_shape)}
+    sigmas = np.zeros((len(sample_indices), max(num_params, 1)))
+
+    if config["other"]["extraoptions"]["spectype"] == "angular_full":
+        sl = slice(config["data"]["lineouts"]["start"], config["data"]["lineouts"]["end"])
+        batch = {
+            "e_data": all_data["e_data"][sl, :],
+            "e_amps": all_data["e_amps"][sl, :],
+            "i_data": all_data["i_data"],
+            "i_amps": all_data["i_amps"],
+            "noise_e": all_data["noiseE"][sl, :],
+            "noise_i": all_data["noiseI"][sl, :],
+        }
+        loss, sqds, ThryE, ThryI, params = loss_fn.array_loss(fitted_weights[0], batch)
+        fits["ele"] = np.asarray(ThryE)
+        sqdevs["ele"] = np.asarray(sqds["ele"])
+        losses = np.asarray(loss)
+    else:
+        for i_batch, inds in enumerate(batch_indices):
+            batch = {
+                "e_data": all_data["e_data"][inds],
+                "e_amps": all_data["e_amps"][inds],
+                "i_data": all_data["i_data"][inds],
+                "i_amps": all_data["i_amps"][inds],
+                "noise_e": all_data["noiseE"][inds],
+                "noise_i": all_data["noiseI"][inds],
+            }
+            loss, sqds, ThryE, ThryI, params = loss_fn.array_loss(fitted_weights[i_batch], batch)
+            losses[inds] = np.asarray(loss)
+
+            def assign(dst, inds, val):
+                # tolerant placement: unloaded species carry placeholder zeros
+                # whose shapes don't match the (N, 1) placeholder grid
+                val = np.atleast_2d(np.asarray(val))
+                tgt = dst[inds].shape
+                if val.shape == (1, tgt[0]) and tgt[1] != tgt[0]:
+                    val = val.T
+                if val.shape == tgt:
+                    dst[inds] = val
+                elif val.shape[0] == tgt[0] and val.shape[1] >= tgt[1]:
+                    dst[inds] = val[:, : tgt[1]]
+                else:
+                    dst[inds] = np.broadcast_to(val, tgt)
+
+            assign(sqdevs["ele"], inds, sqds["ele"])
+            assign(sqdevs["ion"], inds, sqds["ion"])
+            assign(fits["ele"]["total_spec"], inds, ThryE)
+            assign(fits["ion"]["total_spec"], inds, ThryI)
+
+            if calc_sigma:
+                try:
+                    hess = batch_flat_hessian(config, loss_fn, fitted_weights[i_batch], batch)
+                    sigmas[inds] = get_sigmas(hess, config["optimizer"]["batch_size"])
+                except Exception as e:
+                    print(f"Error calculating Hessian ({e}); skipping uncertainties")
+                    calc_sigma = False
+
+    return losses, sqdevs, num_params, fits, sigmas, all_params
+
+
+def batch_flat_hessian(config, loss_fn, weights, batch):
+    """Hessian of the sum-loss w.r.t. the flattened active parameters.
+
+    Returns ([P, P] matrix, B) where P = num_active_params * batch_size.
+    """
+    spec = get_filter_spec(config["parameters"], weights)
+    diff, static = partition(weights, spec)
+    x0, unravel = ravel_pytree(diff)
+
+    def flat_loss(x):
+        return loss_fn._loss_for_hess_fn_(combine(unravel(x), static), batch)
+
+    H = jax.hessian(flat_loss)(x0)
+    return np.asarray(H)
+
+
+def get_sigmas(hess: np.ndarray, batch_size: int) -> np.ndarray:
+    """Per-lineout parameter uncertainties from the inverse Hessian diagonal.
+
+    The flattened layout places parameter p, lineout i at index p*B + i; the
+    cross-lineout blocks are zero, so each lineout's PxP submatrix is extracted
+    and inverted.  Negative inverse-diagonal entries (non-optimal points) are
+    sign-coded as negative sigmas, as in the reference (postprocess.py:188-251).
+    """
+    P = hess.shape[0] // batch_size
+    sigmas = np.zeros((batch_size, P))
+    for i in range(batch_size):
+        idx = np.arange(P) * batch_size + i
+        sub = hess[np.ix_(idx, idx)]
+        inv = np.linalg.inv(sub)
+        sigmas[i, :] = np.sign(np.diag(inv)) * np.sqrt(np.abs(np.diag(inv)))
+    return sigmas
+
+
+def refit_bad_fits(config, sa, batch_indices, all_data, loss_fn, fitted_weights):
+    """Warm-started single-lineout re-minimization of high-loss fits
+    (reference postprocess.py:290-371)."""
+    from ...inverse.loops import one_d_loop
+
+    losses_init, sqdevs, num_params, fits, sigmas, all_params = recalculate_with_chosen_weights(
+        config, sa, batch_indices, all_data, loss_fn, False, fitted_weights
+    )
+    red_losses_init = losses_init
+    true_batch_size = config["optimizer"]["batch_size"]
+
+    mlflow.log_metrics({"number of fits": len(batch_indices.flatten())})
+    mlflow.log_metrics({"number of refits": int(np.sum(red_losses_init > config["other"]["refit_thresh"]))})
+
+    sample_indices = np.arange(max(len(all_data["e_data"]), len(all_data["i_data"])))
+
+    for i in batch_indices.flatten()[red_losses_init > config["other"]["refit_thresh"]]:
+        if i == 0:
+            continue
+
+        temp_cfg = copy.deepcopy(config)
+        temp_cfg["optimizer"]["batch_size"] = 1
+
+        # warm start from the previous lineout's fitted values
+        prev_weights = fitted_weights[(i - 1) // true_batch_size]
+        prev_unnormed = prev_weights.get_unnormed_params()
+        j = (i - 1) % true_batch_size
+
+        def val_of(x):
+            arr = np.asarray(x)
+            return {"val": float(arr.reshape(-1)[j] if arr.size > 1 else arr)}
+
+        prev_vals = {}
+        for sp, params in prev_unnormed.items():
+            prev_vals[sp] = {}
+            for k, v in params.items():
+                if k in ("f", "fe", "flm"):
+                    continue
+                if k == "m":
+                    prev_vals[sp]["fe"] = {"params": {"m": val_of(v)}}
+                else:
+                    prev_vals[sp][k] = val_of(v)
+
+        temp_params = flatten(temp_cfg["parameters"])
+        temp_params.update(flatten(prev_vals))
+        temp_cfg["parameters"] = unflatten(temp_params)
+
+        new_weights, _, refit_loss_fn = one_d_loop(temp_cfg, all_data, sa, np.array([i]), 1)
+
+        inds = np.array([i])
+        batch = {
+            "e_data": all_data["e_data"][inds],
+            "e_amps": all_data["e_amps"][inds],
+            "i_data": all_data["i_data"][inds],
+            "i_amps": all_data["i_amps"][inds],
+            "noise_e": all_data["noiseE"][inds],
+            "noise_i": all_data["noiseI"][inds],
+        }
+        loss, *_ = refit_loss_fn.array_loss(new_weights[0], batch)
+        if float(np.asarray(loss).sum()) < losses_init[i]:
+            ib = (i - 1) // true_batch_size
+            tgt = fitted_weights[ib]
+            src = new_weights[0]
+
+            def insert(x, y):
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == true_batch_size:
+                    return x.at[i % true_batch_size].set(np.asarray(y).reshape(x.shape[1:]) if x.ndim > 1 else float(np.asarray(y).reshape(-1)[0]))
+                return x
+
+            fitted_weights[ib] = jax.tree.map(insert, tgt, src)
+    return losses_init
+
+
+def postprocess(config, sample_indices, all_data: Dict, all_axes: Dict, loss_fn, sa, fitted_weights):
+    """Refit + recalculate + plots/CSVs (reference postprocess.py:254-287)."""
+    t1 = time.time()
+
+    if config["other"]["extraoptions"]["spectype"] != "angular_full" and config["other"]["refit"]:
+        init_losses = refit_bad_fits(config, sa, sample_indices, all_data, loss_fn, fitted_weights)
+    else:
+        init_losses = []
+    mlflow.log_metrics({"refitting time": round(time.time() - t1, 2)})
+
+    with tempfile.TemporaryDirectory() as td:
+        for dirname in ["plots", "binary", "csv"]:
+            os.makedirs(os.path.join(td, dirname), exist_ok=True)
+        if config["other"]["extraoptions"]["spectype"] == "angular_full":
+            t1, final_params = process_angular_data(
+                config, sample_indices, all_data, all_axes, loss_fn, fitted_weights, sa, t1, td
+            )
+        else:
+            t1, final_params = process_data(
+                config, sample_indices, all_data, all_axes, loss_fn, fitted_weights, sa, init_losses, t1, td
+            )
+        mlflow.log_artifacts(td)
+    mlflow.log_metrics({"plotting time": round(time.time() - t1, 2)})
+    mlflow.set_tag("status", "done plotting")
+    return final_params
+
+
+def process_data(config, sample_indices, all_data, all_axes, loss_fn, fitted_weights, sa, losses_init, t1, td):
+    losses, sqdevs, num_params, fits, sigmas, all_params = recalculate_with_chosen_weights(
+        config, sa, sample_indices, all_data, loss_fn, config["other"]["calc_sigmas"], fitted_weights
+    )
+    if len(losses_init) == 0:
+        losses_init = losses
+    mlflow.log_metrics({"postprocessing time": round(time.time() - t1, 2)})
+    mlflow.set_tag("status", "plotting")
+    t1 = time.time()
+
+    final_params = plotters.get_final_params(config, all_params, all_axes, td)
+    red_losses = plotters.plot_loss_hist(config, losses_init, losses, 1.0, td)
+    plotters.plot_ts_data(config, fits, all_data, all_axes, td)
+    plotters.model_v_actual(config, all_data, all_axes, fits, losses, red_losses, sqdevs, td)
+    sigma_ds = plotters.save_sigmas_params(config, all_params, sigmas, all_axes, td)
+    plotters.plot_final_params(config, all_params, sigma_ds, td)
+    return t1, final_params
+
+
+def process_angular_data(config, batch_indices, all_data, all_axes, loss_fn, fitted_weights, sa, t1, td):
+    losses, sqdevs, num_params, fits, sigmas, all_params = recalculate_with_chosen_weights(
+        config, sa, batch_indices, all_data, loss_fn, config["other"]["calc_sigmas"], [fitted_weights]
+    )
+    mlflow.log_metrics({"postprocessing time": round(time.time() - t1, 2)})
+    mlflow.set_tag("status", "plotting")
+    t1 = time.time()
+
+    final_params = plotters.get_final_params(config, all_params, all_axes, td)
+    plotters.plot_data_angular(config, fits, all_data, all_axes, td)
+    plotters.plot_dist(config, "electron", final_params, np.zeros_like(final_params.get("fe", np.zeros(1))), td)
+    return t1, final_params
