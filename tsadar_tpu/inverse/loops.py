@@ -194,6 +194,16 @@ def angular_optax(config, all_data, sa):
     diff_params, static_params = partition(ts_params, get_filter_spec(config["parameters"], ts_params))
     opt_state = solver.init(diff_params)
 
+    # durable checkpoint/resume (beyond the reference's pickle snapshots)
+    ckpt_dir = config["optimizer"].get("checkpoint_dir")
+    start_epoch = 0
+    if ckpt_dir:
+        from ..utils.checkpoint import restore_checkpoint
+
+        diff_params, opt_state, start_epoch = restore_checkpoint(ckpt_dir, diff_params, opt_state)
+        if start_epoch:
+            print(f"resumed angular fit from checkpoint at epoch {start_epoch}")
+
     @jax.jit
     def step(dp, state):
         (value, aux), grad = loss_fn._vg_func_(dp, static_params, actual_data)
@@ -205,7 +215,7 @@ def angular_optax(config, all_data, sa):
     best_weights = ts_params
     epoch_loss, best_loss = 0.0, 100.0
     num_g_wait = num_b_wait = 0
-    for i_epoch in range(config["optimizer"]["num_epochs"]):
+    for i_epoch in range(start_epoch, config["optimizer"]["num_epochs"]):
         diff_params, opt_state, val = step(diff_params, opt_state)
         epoch_loss = float(val)
         if epoch_loss < best_loss:
@@ -229,6 +239,11 @@ def angular_optax(config, all_data, sa):
         if config["optimizer"].get("save_state", False):
             if i_epoch % config["optimizer"]["save_state_freq"] == 0:
                 state_weights[i_epoch] = jax.tree.map(np.asarray, best_weights.get_unnormed_params())
+
+        if ckpt_dir and i_epoch % config["optimizer"].get("checkpoint_freq", 50) == 0:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(ckpt_dir, diff_params, opt_state, i_epoch)
 
         mlflow.log_metrics({"epoch loss": float(epoch_loss)}, step=i_epoch)
 
