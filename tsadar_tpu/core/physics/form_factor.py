@@ -37,7 +37,12 @@ import jax
 
 from . import ratint
 from .constants import C, ME_KEV, MP_KEV, RE_CM, PLASMA_FREQ_CONST
-from .interp import interp1d_cubic, interp2d_cubic
+from .interp import (
+    interp1d_cubic,
+    interp1d_cubic_matmul,
+    interp2d_cubic,
+    interp1d_linear_uniform,
+)
 from .zprime import zprime
 
 
@@ -69,7 +74,7 @@ class FormFactor:
         mode="table",
     ):
         self.npts = npts
-        # xi grids for the electron chi_R pole sweep (reference form_factor.py:128-138)
+        # xi grids for the electron chi_R pole sweep (reference form_factor.py:128-138).
         self.h = 0.01
         minmax = 8.2
         h1 = 1024
@@ -82,6 +87,11 @@ class FormFactor:
         self.xi1 = jnp.asarray(xi1)
         self.dxi1 = float(xi1[1] - xi1[0])
         self.xi2 = jnp.asarray(np.arange(-minmax, minmax, self.h))
+        # static Toeplitz kernels for the chi_R pole sweep (see ratint.pv_integral_uniform):
+        # midpoint poles + interleaved node poles give a table spacing of
+        # dxi1/2 ~ 0.008, denser than the reference's 0.01 xi2 grid
+        self._pv_kernel = ratint.pv_toeplitz_kernel(h1 - 2)
+        self._pv_node_kernel = ratint.pv_node_kernel(h1 - 2)
 
         self.lam_shift = lam_shift
         self.scattering_angles = {k: jnp.asarray(v) for k, v in scattering_angles.items()}
@@ -191,16 +201,22 @@ class FormFactor:
         xie = omgdop / (k * vTe) - ud / vTe  # [G,L,A]
         # clamp so exact zeros in the EDF tail cannot poison the log-space interp
         log_fe = jnp.log(jnp.maximum(fe, 1e-300))
-        fe_vphi = jnp.exp(interp1d_cubic(xie, vx, log_fe, extrap=(-50.0, -50.0)))
+        fe_vphi = jnp.exp(interp1d_cubic_matmul(xie, vx, log_fe, extrap=(-50.0, -50.0)))
 
         df = jnp.diff(fe_vphi, 1, axis=1) / jnp.diff(xie, 1, axis=1)
         df = jnp.concatenate([df, jnp.zeros_like(df[:, :1, :])], axis=1)
         chiEI = 1j * jnp.pi / (klde**2) * df
 
-        ratmod = jnp.exp(interp1d_cubic(self.xi1, vx, log_fe, extrap=(-50.0, -50.0)))
+        ratmod = jnp.exp(interp1d_cubic_matmul(self.xi1, vx, log_fe, extrap=(-50.0, -50.0)))
         ratdf = jnp.gradient(ratmod, self.dxi1)
-        chiERratprim = ratint.pv_integral(ratdf, self.xi1, self.xi2)  # [1640]
-        chiERrat = jnp.interp(xie, self.xi2, chiERratprim)
+        # chi_R table via Toeplitz correlations on interleaved midpoint + node
+        # poles (replaces the dense 1640x1022 pole sweep, form_factor.py:263-271)
+        mid_poles, mid_vals = ratint.pv_integral_uniform(ratdf, self.xi1, self._pv_kernel)
+        node_poles, node_vals = ratint.pv_integral_uniform_nodes(ratdf, self.xi1, self._pv_node_kernel)
+        n_tab = mid_poles.shape[0] + node_poles.shape[0]
+        pv_poles = jnp.zeros(n_tab, mid_poles.dtype).at[0::2].set(mid_poles).at[1::2].set(node_poles)
+        chiERratprim = jnp.zeros(n_tab, mid_vals.dtype).at[0::2].set(mid_vals).at[1::2].set(node_vals)
+        chiERrat = interp1d_linear_uniform(xie, pv_poles, chiERratprim)
         chiERrat = -1.0 / (klde**2) * chiERrat
 
         chiE = chiERrat + chiEI
@@ -271,10 +287,10 @@ class FormFactor:
 
         f1d, df1d = jax.lax.map(jax.checkpoint(one), betas, batch_size=32)
 
-        # pole grid: xie magnitudes are >= 0; cover [0, |vx|max] densely
-        P = 4 * vx.shape[0]
-        pole_grid = jnp.linspace(0.0, jnp.max(vx) * 1.0001 + 0.013 * dvx, P)
-        chiR_tab = jax.vmap(lambda d: ratint.pv_integral(d, vx, pole_grid))(df1d)  # [B,P]
+        # chi_R tables on the vx midpoint-pole grid via Toeplitz matmuls
+        kernel = ratint.pv_toeplitz_kernel(vx.shape[0] - 2)
+        pole_grid = 0.5 * (vx[1:-1] + vx[0:-2])
+        chiR_tab = jax.vmap(lambda d: ratint.pv_integral_uniform(d, vx, kernel)[1])(df1d)  # [B,M]
         return betas, f1d, df1d, pole_grid, chiR_tab
 
     @staticmethod

@@ -34,10 +34,28 @@ def _fd_slopes_1d(x, f):
     return jnp.concatenate([d0[..., None], d_int, dn[..., None]], axis=-1)
 
 
-def _locate(xq, x):
-    """Cell index i such that x[i] <= xq < x[i+1], clipped to [0, N-2]."""
+def _locate(xq, x, uniform=False):
+    """Cell index i such that x[i] <= xq < x[i+1], clipped to [0, N-2].
+
+    With ``uniform=True`` the index is computed directly from the grid spacing —
+    on TPU this removes the searchsorted binary search (log2 N sequential gather
+    rounds), which dominates wall-clock for large query sets.
+    """
+    if uniform:
+        pos = (xq - x[0]) / (x[1] - x[0])
+        return jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, x.shape[0] - 2)
     i = jnp.searchsorted(x, xq, side="right") - 1
     return jnp.clip(i, 0, x.shape[0] - 2)
+
+
+def interp1d_linear_uniform(xq, x, f):
+    """Linear interpolation on a UNIFORM grid with edge clamping (jnp.interp
+    semantics) and no binary search."""
+    n = x.shape[0]
+    pos = jnp.clip((xq - x[0]) / (x[1] - x[0]), 0.0, n - 1.0)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    w = pos - i0
+    return f[i0] * (1.0 - w) + f[i0 + 1] * w
 
 
 def _hermite_eval(t, h, f0, f1, d0, d1):
@@ -51,7 +69,7 @@ def _hermite_eval(t, h, f0, f1, d0, d1):
     return h00 * f0 + h10 * h * d0 + h01 * f1 + h11 * h * d1
 
 
-def interp1d_cubic(xq, x, f, extrap=True):
+def interp1d_cubic(xq, x, f, extrap=True, uniform=False):
     """C1 cubic Hermite interpolation of f(x) at points xq.
 
     Args:
@@ -61,16 +79,73 @@ def interp1d_cubic(xq, x, f, extrap=True):
         extrap: True -> extrapolate the edge-cell polynomial;
                 (lo, hi) tuple -> constant fill values outside the domain
                 (the reference's ``extrap=[-50, -50]`` pattern, form_factor.py:256).
+        uniform: the grid is uniformly spaced (skips the binary search).
 
     Returns:
         Array shaped like xq.
     """
     xq = jnp.asarray(xq)
     d = _fd_slopes_1d(x, f)
-    i = _locate(xq, x)
+    i = _locate(xq, x, uniform=uniform)
     h = x[i + 1] - x[i]
     t = (xq - x[i]) / h
     out = _hermite_eval(t, h, f[i], f[i + 1], d[i], d[i + 1])
+    if extrap is not True:
+        lo, hi = extrap
+        out = jnp.where(xq < x[0], lo, out)
+        out = jnp.where(xq > x[-1], hi, out)
+    return out
+
+
+def interp1d_cubic_matmul(xq, x, f, extrap=True):
+    """C1 cubic Hermite interpolation as a banded weight-matrix contraction.
+
+    Identical math to ``interp1d_cubic(..., uniform=True)`` on a UNIFORM grid,
+    but expressed as out = W(xq) @ f where W has four nonzeros per row (the
+    Hermite basis composed with the finite-difference slope stencil).  On TPU
+    this replaces per-query gathers with one MXU matmul; when both xq and x are
+    compile-time constants, W constant-folds entirely.
+
+    Intended for moderate N (the EDF velocity grid); W materializes [Q, N].
+    """
+    xq = jnp.asarray(xq)
+    n = x.shape[0]
+    h = x[1] - x[0]
+    pos = (xq - x[0]) / h
+    i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    t = pos - i
+
+    t2 = t * t
+    t3 = t2 * t
+    h00 = 2.0 * t3 - 3.0 * t2 + 1.0
+    h10 = t3 - 2.0 * t2 + t
+    h01 = -2.0 * t3 + 3.0 * t2
+    h11 = t3 - t2
+
+    first = i == 0
+    last = i == n - 2
+    # per-offset coefficients: interior central-difference slopes; one-sided
+    # second-order stencils in the first and last cells
+    c_m1 = jnp.where(first, 0.0, jnp.where(last, -0.5 * h10 + 0.5 * h11, -0.5 * h10))
+    c_0 = jnp.where(
+        first, h00 - 1.5 * h10 - 0.5 * h11, jnp.where(last, h00 - 2.0 * h11, h00 - 0.5 * h11)
+    )
+    c_p1 = jnp.where(
+        first, h01 + 2.0 * h10, jnp.where(last, h01 + 0.5 * h10 + 1.5 * h11, h01 + 0.5 * h10)
+    )
+    c_p2 = jnp.where(first, -0.5 * h10 + 0.5 * h11, jnp.where(last, 0.0, 0.5 * h11))
+
+    cols = jnp.arange(n, dtype=jnp.int32)
+    qshape = xq.shape
+    iq = i.reshape(-1, 1)
+    W = (
+        c_m1.reshape(-1, 1) * (cols == iq - 1)
+        + c_0.reshape(-1, 1) * (cols == iq)
+        + c_p1.reshape(-1, 1) * (cols == iq + 1)
+        + c_p2.reshape(-1, 1) * (cols == iq + 2)
+    )
+    out = (W @ f).reshape(qshape)
+
     if extrap is not True:
         lo, hi = extrap
         out = jnp.where(xq < x[0], lo, out)

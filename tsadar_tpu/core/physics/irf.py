@@ -16,7 +16,22 @@ def _masked_max(x, mask):
 
 
 def _conv_same(signal, kernel):
-    return jnp.convolve(signal, kernel, mode="same")
+    """'same'-mode convolution via FFT.
+
+    The IRF kernels are as long as the signal (N ~ 1024), for which direct
+    convolution lowers to a pathological conv on TPU (and its transpose makes
+    reverse-mode compilation explode).  FFT convolution is O(N log N), fast in
+    both directions, and matches jnp.convolve(..., "same") to roundoff.
+    """
+    n = signal.shape[-1]
+    k = kernel.shape[-1]
+    full_len = n + k - 1
+    fft_len = 1 << (full_len - 1).bit_length()
+    fa = jnp.fft.rfft(signal, fft_len)
+    fb = jnp.fft.rfft(kernel, fft_len)
+    full = jnp.fft.irfft(fa * fb, fft_len)[..., :full_len]
+    start = (k - 1) // 2
+    return full[..., start : start + n]
 
 
 def add_ion_IRF(config, lamAxisI, modlI, amps, TSins):
