@@ -32,6 +32,9 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_bas
 
 def build(batch_size):
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     from __graft_entry__ import _small_config, _make_batch
     from tsadar_tpu.core.diagnostic import ThomsonScatteringDiagnostic
     from tsadar_tpu.core.params import ThomsonParams

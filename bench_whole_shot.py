@@ -1,0 +1,122 @@
+"""North-star benchmark: full OMEGA shot, 100+ lineouts, end-to-end fit on TPU.
+
+Target (BASELINE.md): < 1 minute on a v5e-8 for 100+ lineouts.  This runs on
+however many chips are visible (a single v5e chip here); the whole lineout batch
+is fit as ONE device-resident L-BFGS optimization (the reference loops Python
+batches of 2 through scipy with a host round trip per iteration,
+loops.py:132-162).
+
+Prints a JSON line with setup/fit timings and final per-lineout loss stats.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+import jax.numpy as jnp
+import optax
+
+from tsadar_tpu.core.params import ThomsonParams, get_filter_spec, partition, combine
+from tsadar_tpu.inverse.loss import LossFunction
+from tsadar_tpu.utils.config import merge_configs
+from tsadar_tpu.utils.process import prepare
+
+import yaml
+
+N_ITERS = 200
+
+
+def build_config(start=300, end=812, skip=4):
+    with open("tests/configs/time_test_defaults.yaml") as fi:
+        defaults = yaml.safe_load(fi)
+    with open("tests/configs/time_test_inputs.yaml") as fi:
+        inputs = yaml.safe_load(fi)
+    config = merge_configs(defaults, inputs)
+    config["data"]["lineouts"].update({"start": start, "end": end, "skip": skip})
+    config["data"]["lineouts"]["val"] = list(range(start, end, skip))
+    config["optimizer"]["batch_size"] = len(config["data"]["lineouts"]["val"])
+    return config
+
+
+def main():
+    t0 = time.time()
+    config = build_config()
+    n_lineouts = len(config["data"]["lineouts"]["val"])
+
+    # host-side data preparation (reference: setup_time)
+    all_data, sa, all_axes = prepare.prepare_data(config, config["data"]["shotnum"])
+    batch = {
+        "e_data": all_data["e_data"],
+        "e_amps": all_data["e_amps"][:, None] if all_data["e_amps"].ndim == 1 else all_data["e_amps"],
+        "i_data": all_data["i_data"],
+        "i_amps": all_data["i_amps"][:, None] if np.ndim(all_data["i_amps"]) == 1 else all_data["i_amps"],
+        "noise_e": all_data["noiseE"],
+        "noise_i": all_data["noiseI"],
+    }
+    setup_time = time.time() - t0
+
+    loss_fn = LossFunction(config, sa, batch)
+    ts_params = ThomsonParams.create(config["parameters"], n_lineouts, batch=True, activate=True)
+    spec = get_filter_spec(config["parameters"], ts_params)
+    diff0, static = partition(ts_params, spec)
+
+    def value_fn(dp):
+        return loss_fn.__loss__(dp, static, batch)[0]
+
+    # NOTE: optax.lbfgs zoom linesearch (nested while_loops) faults/hangs in the
+    # axon TPU runtime; adam is the device-resident optimizer here.  The
+    # device L-BFGS path is exercised on CPU in tests/test_inverse.
+    opt = optax.adam(2e-2)
+
+    # a single jitted step + a Python loop: the axon remote compiler takes
+    # many minutes to compile a scanned multi-step program, while one step
+    # compiles in ~30 s and per-iteration dispatch is negligible
+    @jax.jit
+    def step(dp, state):
+        value, grad = jax.value_and_grad(value_fn)(dp)
+        updates, state = opt.update(grad, state)
+        dp = optax.apply_updates(dp, updates)
+        return dp, state, value
+
+    state = opt.init(diff0)
+    t0 = time.time()
+    dp, state, value = step(diff0, state)
+    jax.block_until_ready(value)
+    compile_time = time.time() - t0
+
+    values = [float(value)]
+    t0 = time.time()
+    for _ in range(N_ITERS - 1):
+        dp, state, value = step(dp, state)
+        values.append(value)
+    jax.block_until_ready(value)
+    fit_time = time.time() - t0
+    values = [float(v) for v in values]
+
+    final = combine(dp, static)
+    per_lineout_loss, *_ = loss_fn.array_loss(final, batch)
+
+    print(
+        json.dumps(
+            {
+                "n_lineouts": n_lineouts,
+                "n_devices": len(jax.devices()),
+                "adam_iters": N_ITERS,
+                "setup_time_s": round(setup_time, 2),
+                "compile_time_s": round(compile_time, 2),
+                "fit_time_s": round(fit_time, 2),
+                "initial_loss": float(values[0]),
+                "final_loss": float(values[-1]),
+                "median_per_lineout_loss": float(np.median(np.asarray(per_lineout_loss))),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
