@@ -74,6 +74,61 @@ class ThomsonScatteringDiagnostic:
         )
         return ThryE, lamAxisE
 
+    def spectrum_breakdown(self, ts_params, batch):
+        """Detailed per-component spectra + IRF-only spectra for plotting
+        (reference thomson_diagnostic.py:144-216).  Host-side (not jitted):
+        uses scipy peak finding on concrete arrays."""
+        import numpy as np
+        from scipy.signal import find_peaks
+        from jax import vmap as _vmap
+
+        physical_params = ts_params()
+        if self.batched:
+            detailed = _vmap(self.model.detailed_spectrum)(physical_params)
+        else:
+            detailed = self.model.detailed_spectrum(physical_params)
+        modlE, modlI, ThryE, ThryI, lamAxisE_raw, lamAxisI_raw = detailed
+        amps = {"e_amps": batch["e_amps"], "i_amps": batch["i_amps"]}
+        modlE, modlI, lamAxisE, lamAxisI = self._postprocess(
+            modlE, modlI, lamAxisE_raw, lamAxisI_raw, amps, physical_params
+        )
+
+        # IRF-only spectra: delta functions at the two most prominent peaks
+        def _irf_deltas(spectra):
+            arr = np.asarray(spectra)
+            out = np.zeros_like(arr)
+            for i in range(arr.shape[0]):
+                try:
+                    peaks, props = find_peaks(arr[i], prominence=0.1)
+                    order = np.argsort(props["prominences"])
+                    out[i, peaks[order[-1]]] = 1.0
+                    if len(peaks) > 1:
+                        out[i, peaks[order[-2]]] = 1.0
+                except (ValueError, IndexError):
+                    print("Unable to locate peak; IRF may not be plotted")
+            return jnp.asarray(out)
+
+        eIRF = _irf_deltas(np.atleast_2d(np.asarray(modlE))) if self.cfg["other"]["extraoptions"]["load_ele_spec"] else jnp.zeros_like(modlE)
+        iIRF = _irf_deltas(np.atleast_2d(np.asarray(modlI))) if self.cfg["other"]["extraoptions"]["load_ion_spec"] else jnp.zeros_like(modlI)
+        eIRF, iIRF, lamAxisE, lamAxisI = self._postprocess(
+            eIRF, iIRF, lamAxisE, lamAxisI, amps, physical_params
+        )
+
+        if self.cfg["other"]["extraoptions"]["spectype"] == "angular_full":
+            modlE, lamAxisE = self.reduce_ATS_to_resunit(ThryE, lamAxisE, physical_params, batch)
+
+        modlE = modlE + batch["noise_e"]
+        modlI = modlI + batch["noise_i"]
+
+        if self.cfg["other"]["extraoptions"]["load_ele_spec"]:
+            ThryE = jnp.reshape(batch["e_amps"], (-1, 1, 1, 1)) * ThryE / jnp.amax(ThryE)
+            eIRF = jnp.reshape(batch["e_amps"], (-1, 1)) * eIRF / jnp.amax(eIRF)
+        if self.cfg["other"]["extraoptions"]["load_ion_spec"]:
+            ThryI = jnp.reshape(batch["i_amps"], (-1, 1, 1, 1)) * ThryI / jnp.amax(ThryI)
+            iIRF = jnp.reshape(batch["i_amps"], (-1, 1)) * iIRF / jnp.amax(iIRF)
+
+        return modlE, modlI, ThryE, ThryI, eIRF, iIRF, lamAxisE, lamAxisI, lamAxisE_raw, lamAxisI_raw
+
     def __call__(self, ts_params, batch):
         physical_params = ts_params()
         modlE, modlI, lamAxisE, lamAxisI = self._model(physical_params)

@@ -54,6 +54,8 @@ class ParamGroup:
         for name in names:
             c = cfg[name]
             scale = float(c["ub"] - c["lb"]) if "ub" in c and "lb" in c else 1.0
+            if scale == 0.0:  # degenerate bounds (lb == ub): pin, don't divide by zero
+                scale = 1.0
             shift = float(c["lb"]) if "lb" in c else 0.0
             is_act = bool(c.get("active", False) and activate)
             val = inv_act((float(c["val"]) - shift) / scale, is_act)

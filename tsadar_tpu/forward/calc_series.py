@@ -25,7 +25,14 @@ from ..utils.plotting import plotters
 
 
 def _set_series_param(parameters, name, value):
-    for species in ("electron", "general", "ion-1"):
+    """Assign a series value; list values distribute across ion species
+    (e.g. Z: [Z_ion1, Z_ion2] for multi-species sweeps)."""
+    ion_keys = sorted(k for k in parameters if "ion" in k)
+    if isinstance(value, (list, tuple)) and ion_keys and name in parameters[ion_keys[0]]:
+        for k, v in zip(ion_keys, value):
+            parameters[k][name]["val"] = v
+        return
+    for species in ("electron", "general", *ion_keys):
         if species in parameters and name in parameters[species]:
             parameters[species][name]["val"] = value
             return

@@ -157,7 +157,7 @@ class LossFunction:
             )
 
         ion_error = self.cfg["data"]["ion_loss_scale"] * i_error
-        penalty_error = 0.0
+        penalty_error = self.penalties(ts_params())
         total_loss = ion_error + e_error + penalty_error
         return total_loss, sqdev, ThryE, ThryI, ts_params()
 
@@ -213,6 +213,26 @@ class LossFunction:
         return i_error + e_error
 
     # -------------------------------------------------------------- penalties
+
+    def penalties(self, params):
+        """Optional regularization terms (reference loss_function.py:420-463).
+
+        The reference computes these but leaves them disconnected
+        (``penalties = 0`` at loss_function.py:337); here they engage when the
+        corresponding config flags are set and contribute 0 otherwise.
+        """
+        total = 0.0
+        if self.cfg["optimizer"].get("moment_loss", False):
+            density_loss, temperature_loss, momentum_loss = self.moment_penalties(params)
+            total = total + density_loss + temperature_loss + momentum_loss
+        fe_cfg = self.cfg["parameters"]["electron"]["fe"]
+        if fe_cfg.get("fe_decrease_strict", False) and fe_cfg.get("dim", 1) == 1:
+            v = params["electron"]["v"]
+            fe = params["electron"]["fe"]
+            gradfe = jnp.sign(v[..., 1:]) * jnp.diff(fe, axis=-1)
+            vals = jnp.sum(jnp.where(gradfe > 0.0, gradfe, 0.0))
+            total = total + jnp.tan(jnp.minimum(vals, jnp.pi / 2 - 1e-3))
+        return total
 
     def moment_penalties(self, params):
         """Density/temperature/momentum moment losses for 1V EDFs

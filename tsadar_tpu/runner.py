@@ -53,14 +53,32 @@ def run(cfg_path: str, mode: str) -> str:
 
 
 def _run_(config: Dict, mode: str = "fit"):
+    import contextlib
+
     mlflow.log_config(config)
     t0 = time.time()
-    if mode.casefold() == "fit":
-        fit_results, loss = fitter.fit(config=config)
-    elif mode in ("forward", "series"):
-        calc_series.forward_pass(config=config)
-    else:
-        raise NotImplementedError(f"Mode {mode} not implemented")
+
+    # device-level profiling (the reference logs only coarse wall-clock stage
+    # timings, SURVEY.md §5); set other.profile: true to capture a full
+    # jax.profiler trace viewable in TensorBoard/Perfetto
+    profile_ctx = contextlib.nullcontext()
+    if config.get("other", {}).get("profile", False):
+        import jax
+
+        trace_dir = os.path.join(os.getcwd(), "jax_trace")
+        profile_ctx = jax.profiler.trace(trace_dir)
+        print(f"profiling to {trace_dir}")
+
+    with profile_ctx:
+        if mode.casefold() == "fit":
+            fit_results, loss = fitter.fit(config=config)
+        elif mode in ("forward", "series"):
+            calc_series.forward_pass(config=config)
+        else:
+            raise NotImplementedError(f"Mode {mode} not implemented")
+
+    if config.get("other", {}).get("profile", False):
+        mlflow.log_artifacts(os.path.join(os.getcwd(), "jax_trace"))
 
     mlflow.log_metrics({"total_time": time.time() - t0, "num_cores": int(mp.cpu_count())})
     mlflow.set_tag("status", "completed")

@@ -105,6 +105,21 @@ def recalculate_with_chosen_weights(
             assign(fits["ele"]["total_spec"], inds, ThryE)
             assign(fits["ion"]["total_spec"], inds, ThryI)
 
+            if config.get("plotting", {}).get("detailed_breakdown", False):
+                try:
+                    bd = loss_fn.ts_diag.spectrum_breakdown(fitted_weights[i_batch], batch)
+                    modlE_b, modlI_b, ThryE_c, ThryI_c, eIRF, iIRF, lamE, lamI, lamE_raw, lamI_raw = bd
+                    comps = fits["ele"].setdefault("spec_comps", {})
+                    comps[tuple(inds)] = np.asarray(ThryE_c)
+                    fits["ele"].setdefault("IRF", np.zeros(e_shape))
+                    assign(fits["ele"]["IRF"], inds, eIRF)
+                    icomps = fits["ion"].setdefault("spec_comps", {})
+                    icomps[tuple(inds)] = np.asarray(ThryI_c)
+                    fits["ion"].setdefault("IRF", np.zeros(i_shape))
+                    assign(fits["ion"]["IRF"], inds, iIRF)
+                except Exception as e:
+                    print(f"detailed breakdown failed ({e}); continuing")
+
             if calc_sigma:
                 try:
                     hess = batch_flat_hessian(config, loss_fn, fitted_weights[i_batch], batch)
