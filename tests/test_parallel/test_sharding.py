@@ -1,0 +1,61 @@
+"""Multi-device tests on the virtual 8-CPU mesh: lineout-batch data parallelism
+and 2V chi-point sharding (reference form_factor.py:431-447 equivalent)."""
+
+import numpy as np
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+
+from tsadar_tpu.core.physics.form_factor import FormFactor
+from tsadar_tpu.parallel import make_mesh, shard_batch, shard_params_batch_axis
+
+
+def _edf_2v(nv=64):
+    vmax = 6.0
+    dv = 2 * vmax / nv
+    vx = jnp.linspace(-vmax + dv / 2, vmax - dv / 2, nv)
+    f2 = jnp.exp(-(vx[:, None] ** 2 + vx[None, :] ** 2) / 2)
+    return vx, f2 / jnp.sum(f2) / dv**2
+
+
+def _params(f2, vx):
+    return {
+        "electron": {"Te": jnp.asarray(0.5), "ne": jnp.asarray(0.2), "fe": f2, "v": vx},
+        "general": {
+            "lam": jnp.asarray(526.5),
+            "ne_gradient": jnp.asarray(0.0),
+            "Te_gradient": jnp.asarray(0.0),
+            "ud": jnp.asarray(0.0),
+            "Va": jnp.asarray(0.0),
+        },
+        "ion-1": {"A": jnp.asarray(1.0), "Z": jnp.asarray(1.0), "Ti": jnp.asarray(0.2), "fract": jnp.asarray(1.0)},
+    }
+
+
+def test_2v_point_sharding_matches_unsharded():
+    assert jax.device_count() >= 8
+    vx, f2 = _edf_2v()
+    sa = {"sa": np.linspace(50, 70, 8)}
+    kw = dict(npts=256, lam_shift=0.0, scattering_angles=sa, num_grad_points=1, ud_ang=0.0, va_ang=0.0, num_beta=64)
+    ff_plain = FormFactor([450, 650], **kw)
+    ff_shard = FormFactor([450, 650], shard_points=True, **kw)
+    assert ff_shard._point_sharding is not None
+
+    p = _params(f2, vx)
+    S0, _ = jax.jit(ff_plain.calc_in_2D)(p)
+    S1, _ = jax.jit(ff_shard.calc_in_2D)(p)
+    assert_allclose(np.asarray(S1), np.asarray(S0), rtol=1e-10)
+
+
+def test_batch_sharding_lineout_axis():
+    mesh = make_mesh(8)
+    batch = {"e_data": np.arange(8 * 16, dtype=float).reshape(8, 16)}
+    sharded = shard_batch(batch, mesh)
+    assert len(sharded["e_data"].sharding.device_set) == 8
+
+    tree = {"a": jnp.zeros((8, 4)), "b": jnp.zeros((3,))}
+    placed = shard_params_batch_axis(tree, mesh, batch_size=8)
+    assert len(placed["a"].sharding.device_set) == 8
+    # non-batch leaves replicated
+    assert placed["b"].sharding.is_fully_replicated

@@ -19,10 +19,10 @@ from .physics.spectrum import SpectrumModel
 
 
 class ThomsonScatteringDiagnostic:
-    def __init__(self, cfg, scattering_angles, mode_2v: str = "table"):
+    def __init__(self, cfg, scattering_angles, mode_2v: str = "table", shard_2v_points: bool = False):
         self.cfg = cfg
         self.scattering_angles = scattering_angles
-        self.model = SpectrumModel(cfg, scattering_angles, mode_2v=mode_2v)
+        self.model = SpectrumModel(cfg, scattering_angles, mode_2v=mode_2v, shard_2v_points=shard_2v_points)
 
         spectype = cfg["other"]["extraoptions"]["spectype"]
         if any(s in spectype for s in ("temporal", "imaging", "1d")):

@@ -72,6 +72,7 @@ class FormFactor:
         va_ang=None,
         num_beta=256,
         mode="table",
+        shard_points=False,
     ):
         self.npts = npts
         # xi grids for the electron chi_R pole sweep (reference form_factor.py:128-138).
@@ -100,6 +101,17 @@ class FormFactor:
         self.va_angle = va_ang
         self.num_beta = num_beta
         self.mode = mode
+        # multi-device data parallelism over the 2V chi evaluation points
+        # (TPU-native equivalent of the reference's NamedSharding device_put,
+        # form_factor.py:147-161, 431-447): a sharding constraint lets GSPMD
+        # split the per-point gather work across the mesh while the (small)
+        # projection/chi tables stay replicated.
+        self._point_sharding = None
+        if shard_points and jax.device_count() > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            mesh = Mesh(np.array(jax.devices()), axis_names=("points",))
+            self._point_sharding = NamedSharding(mesh, P("points"))
 
     # ------------------------------------------------------------------ common
 
@@ -335,6 +347,17 @@ class FormFactor:
             return reshape(fe_vphi), reshape(chiEI), reshape(chiERrat)
 
         betas, f1d, df1d, pole_grid, chiR_tab = self._chi_tables(vx, jnp.squeeze(DF))
+
+        if self._point_sharding is not None:
+            # split the evaluation-point axis across the mesh (parity with
+            # reference parallel_calc_all_chi_vals); tables stay replicated
+            shape = beta.shape
+            flat = lambda a: jax.lax.with_sharding_constraint(
+                a.reshape(-1), self._point_sharding
+            )
+            beta = flat(beta).reshape(shape)
+            xie_mag = flat(xie_mag).reshape(shape)
+            klde_mag = flat(klde_mag).reshape(shape)
 
         dvx = vx[1] - vx[0]
         dpole = pole_grid[1] - pole_grid[0]

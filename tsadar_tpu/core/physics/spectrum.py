@@ -24,7 +24,7 @@ from .form_factor import FormFactor
 class SpectrumModel:
     """FitModel-equivalent spectrum generator."""
 
-    def __init__(self, config: Dict, scattering_angles: Dict, mode_2v: str = "table"):
+    def __init__(self, config: Dict, scattering_angles: Dict, mode_2v: str = "table", shard_2v_points: bool = False):
         self.config = config
         self.scattering_angles = {k: jnp.asarray(v) for k, v in scattering_angles.items()}
 
@@ -47,6 +47,7 @@ class SpectrumModel:
             ud_ang=ud_angle,
             va_ang=va_angle,
             mode=mode_2v,
+            shard_points=shard_2v_points,
         )
         self.ion_form_factor = FormFactor(
             config["other"]["lamrangI"],
@@ -57,6 +58,7 @@ class SpectrumModel:
             ud_ang=ud_angle,
             va_ang=va_angle,
             mode=mode_2v,
+            shard_points=shard_2v_points,
         )
 
     def __call__(self, all_params: Dict):

@@ -18,6 +18,13 @@ from .utils.config import merge_configs
 
 BASE_TEMPDIR = os.environ.get("BASE_TEMPDIR", None)
 
+# multi-host TPU slices: processes coordinate over DCN; lineout-batch data
+# parallelism then spans all hosts' devices (SURVEY.md §5 distributed backend)
+if os.environ.get("TSADAR_MULTIHOST"):
+    import jax
+
+    jax.distributed.initialize()
+
 
 def load_and_make_folders(cfg_path: str) -> Tuple[str, Dict]:
     """Register a run and store the config decks as artifacts (reference :18-55)."""
