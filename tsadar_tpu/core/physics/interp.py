@@ -48,14 +48,56 @@ def _locate(xq, x, uniform=False):
     return jnp.clip(i, 0, x.shape[0] - 2)
 
 
+import jax as _jax
+
+
+@_jax.custom_vjp
 def interp1d_linear_uniform(xq, x, f):
     """Linear interpolation on a UNIFORM grid with edge clamping (jnp.interp
-    semantics) and no binary search."""
+    semantics) and no binary search.
+
+    Custom VJP: the cotangent w.r.t. the table ``f`` is computed as a one-hot
+    matmul instead of a scatter-add (TPU scatters dominate the backward pass
+    otherwise)."""
+    return _lin_uniform_impl(xq, x, f)
+
+
+def _lin_uniform_impl(xq, x, f):
     n = x.shape[0]
     pos = jnp.clip((xq - x[0]) / (x[1] - x[0]), 0.0, n - 1.0)
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
     w = pos - i0
     return f[i0] * (1.0 - w) + f[i0 + 1] * w
+
+
+def _lin_uniform_fwd(xq, x, f):
+    return _lin_uniform_impl(xq, x, f), (xq, x, f)
+
+
+def _lin_uniform_bwd(res, g):
+    xq, x, f = res
+    n = x.shape[0]
+    dx = x[1] - x[0]
+    raw = (xq - x[0]) / dx
+    pos = jnp.clip(raw, 0.0, n - 1.0)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    w = pos - i0
+
+    inside = (raw > 0.0) & (raw < n - 1.0)
+    slope = (f[i0 + 1] - f[i0]) / dx
+    dxq = jnp.where(inside, g * slope, 0.0)
+
+    cols = jnp.arange(n, dtype=jnp.int32)
+    i0f = i0.reshape(-1)
+    a = ((1.0 - w) * g).reshape(-1)
+    b = (w * g).reshape(-1)
+    onehot0 = (i0f[:, None] == cols[None, :]).astype(g.dtype)
+    onehot1 = ((i0f + 1)[:, None] == cols[None, :]).astype(g.dtype)
+    df = a @ onehot0 + b @ onehot1
+    return dxq, jnp.zeros_like(x), df
+
+
+interp1d_linear_uniform.defvjp(_lin_uniform_fwd, _lin_uniform_bwd)
 
 
 def _hermite_eval(t, h, f0, f1, d0, d1):
