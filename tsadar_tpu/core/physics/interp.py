@@ -87,13 +87,17 @@ def _lin_uniform_bwd(res, g):
     slope = (f[i0 + 1] - f[i0]) / dx
     dxq = jnp.where(inside, g * slope, 0.0)
 
-    cols = jnp.arange(n, dtype=jnp.int32)
     i0f = i0.reshape(-1)
     a = ((1.0 - w) * g).reshape(-1)
     b = (w * g).reshape(-1)
-    onehot0 = (i0f[:, None] == cols[None, :]).astype(g.dtype)
-    onehot1 = ((i0f + 1)[:, None] == cols[None, :]).astype(g.dtype)
-    df = a @ onehot0 + b @ onehot1
+    if _jax.default_backend() == "tpu":
+        # one-hot matmul: TPU scatter-adds are slow, MXU contractions are not
+        cols = jnp.arange(n, dtype=jnp.int32)
+        onehot0 = (i0f[:, None] == cols[None, :]).astype(g.dtype)
+        onehot1 = ((i0f + 1)[:, None] == cols[None, :]).astype(g.dtype)
+        df = a @ onehot0 + b @ onehot1
+    else:
+        df = jnp.zeros_like(f).at[i0f].add(a).at[i0f + 1].add(b)
     return dxq, jnp.zeros_like(x), df
 
 
