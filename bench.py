@@ -23,7 +23,7 @@ import time
 
 import numpy as np
 
-BATCH = 64
+BATCH = 128
 NPTS = 1024
 WARMUP = 2
 ITERS = 10
