@@ -83,6 +83,7 @@ class FormFactor:
         self.omgL_num = 2.0 * np.pi * 1.0e7 * C
         omgs = 2.0e7 * np.pi * C / lamAxis  # scattered frequency axis [1/s]
         self.omgs = jnp.asarray(omgs)[None, :, None]  # [1, L, 1]
+        self.lamAxis = jnp.asarray(lamAxis)[None, :, None]
 
         xi1 = np.linspace(-minmax - math.sqrt(2.0) / h1, minmax + math.sqrt(2.0) / h1, h1)
         self.xi1 = jnp.asarray(xi1)
