@@ -1,0 +1,105 @@
+"""ARTS (2V EDF) benchmark on TPU — the workload the reference gates on a GPU
+("takes too long without a GPU", reference tests/test_forward/test_angular_2v.py:31).
+
+Full resolution: 1024-point spectrum x 241 fine angles (247k chi evaluation
+points), 128x128 arbitrary 2D EDF, 256-angle projection tables.  Reports forward
+and value_and_grad times for one fit iteration.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import yaml
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+import jax.numpy as jnp
+
+from tsadar_tpu.core.diagnostic import ThomsonScatteringDiagnostic
+from tsadar_tpu.core.params import ThomsonParams, get_filter_spec, partition, combine
+from tsadar_tpu.utils.config import merge_configs, set_forward_ranges
+from tsadar_tpu.utils.data_handling.calibration import get_scattering_angles, get_calibrations
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    with open(os.path.join(HERE, "tests/configs/arts2v_test_defaults.yaml")) as fi:
+        defaults = yaml.safe_load(fi)
+    with open(os.path.join(HERE, "tests/configs/arts2d_test_inputs.yaml")) as fi:
+        inputs = yaml.safe_load(fi)
+    config = set_forward_ranges(merge_configs(defaults, inputs))
+    fe_cfg = config["parameters"]["electron"]["fe"]
+    fe_cfg["type"] = "arbitrary"
+    fe_cfg["dim"] = 2
+    fe_cfg["nvx"] = 128
+    fe_cfg.setdefault("params", {})
+    fe_cfg["params"].setdefault("init_m", 2.5)
+    fe_cfg["params"].setdefault("learn_log", True)
+
+    sas = get_scattering_angles(config)
+    axisxE, *_ = get_calibrations(104000, config["other"]["extraoptions"]["spectype"], 0.0, config["other"]["CCDsize"])
+    config["other"]["extraoptions"]["spectype"] = "angular_full"
+    sas["angAxis"] = axisxE
+
+    batch = {
+        "e_data": np.ones(tuple(config["other"]["CCDsize"])),
+        "i_data": np.ones(tuple(config["other"]["CCDsize"])),
+        "e_amps": np.array([1.0]),
+        "i_amps": np.array([1.0]),
+        "noise_e": np.array([0.0]),
+        "noise_i": np.array([0.0]),
+    }
+
+    ts_diag = ThomsonScatteringDiagnostic(config, scattering_angles=sas, mode_2v="table")
+    ts_params = ThomsonParams.create(config["parameters"], num_params=1, batch=False, activate=True)
+
+    fwd = jax.jit(lambda p, b: ts_diag(p, b)[0])
+    t0 = time.time()
+    out = fwd(ts_params, batch)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = fwd(ts_params, batch)
+    jax.block_until_ready(out)
+    fwd_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    target = np.asarray(out)
+    spec = get_filter_spec(config["parameters"], ts_params)
+    diff, static = partition(ts_params, spec)
+
+    def loss(dp):
+        T = ts_diag(combine(dp, static), batch)[0]
+        return jnp.mean((T - target * 0.9) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    t0 = time.time()
+    o = vg(diff)
+    jax.block_until_ready(o[0])
+    vg_compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        o = vg(diff)
+    jax.block_until_ready(o[0])
+    vg_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    print(
+        json.dumps(
+            {
+                "workload": "ARTS 2V arbitrary EDF, 1024 lambda x 241 angles, nvx=128",
+                "platform": jax.default_backend(),
+                "forward_ms": round(fwd_ms, 1),
+                "value_and_grad_ms": round(vg_ms, 1),
+                "compile_s": round(compile_s + vg_compile_s, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,7 @@ class FormFactor:
         va_ang=None,
         num_beta=256,
         mode="table",
+        projection="fourier",
         shard_points=False,
     ):
         self.npts = npts
@@ -102,6 +103,7 @@ class FormFactor:
         self.va_angle = va_ang
         self.num_beta = num_beta
         self.mode = mode
+        self.projection = projection  # "fourier" (slice-theorem Radon) | "rotate"
         # multi-device data parallelism over the 2V chi evaluation points
         # (TPU-native equivalent of the reference's NamedSharding device_put,
         # form_factor.py:147-161, 431-447): a sharding constraint lets GSPMD
@@ -266,6 +268,58 @@ class FormFactor:
         f2 = self.rotate(vx, DF, beta * 180.0 / jnp.pi)
         return jnp.sum(f2, axis=1) * dvx  # integrate over the perpendicular axis
 
+    def _project_all_fourier(self, vx, DF, betas):
+        """All 1D projections at once via the Fourier slice theorem.
+
+        The Radon projection's 1D spectrum equals the EDF's 2D spectrum sampled
+        along the line at angle beta, so the full [n_beta, nvx] projection stack
+        is: one zero-padded fft2, a bilinear sample of n_beta x 2nvx k-space
+        points, phase factors for the cell-centered grid offsets, and a batch of
+        inverse FFTs.  Replaces n_beta full bicubic rotations of the EDF
+        (~250x fewer gathers); exact for band-limited EDFs.
+        """
+        n = vx.shape[0]
+        P = 4 * n  # zero padding: wraparound + k-space interpolation density
+        dv = vx[1] - vx[0]
+        c = (n - 1) / 2.0  # v = (idx - c) dv on both axes
+
+        F = jnp.fft.fft2(DF, s=(P, P))  # DF indexed [y, x]
+        # de-ramp: the EDF is centered mid-array, so F carries a phase ramp
+        # e^{-2pi i k c / P} that rotates ~pi per sample and would wreck the
+        # bilinear interpolation; dividing it out on the grid and re-applying
+        # it at the fractional sample coordinates cancels the center phase
+        # analytically, leaving a smooth spectrum to interpolate.
+        s_idx = jnp.fft.fftfreq(P) * P  # signed frequency per unshifted index
+        ramp = jnp.exp(2j * jnp.pi * c * s_idx / P)
+        G = F * ramp[:, None] * ramp[None, :]
+
+        r = jnp.fft.fftfreq(P) * P  # signed output frequency indices [P]
+        cosb = jnp.cos(betas)[:, None]
+        sinb = jnp.sin(betas)[:, None]
+        m_y = r[None, :] * sinb  # [B, P] signed fractional k-space coords
+        m_x = r[None, :] * cosb
+
+        # bilinear sample of the periodic smooth spectrum
+        fy = jnp.floor(m_y)
+        fx = jnp.floor(m_x)
+        iy0 = fy.astype(jnp.int32) % P
+        ix0 = fx.astype(jnp.int32) % P
+        wy = m_y - fy
+        wx = m_x - fx
+        iy1 = (iy0 + 1) % P
+        ix1 = (ix0 + 1) % P
+        S = (
+            G[iy0, ix0] * (1 - wy) * (1 - wx)
+            + G[iy0, ix1] * (1 - wy) * wx
+            + G[iy1, ix0] * wy * (1 - wx)
+            + G[iy1, ix1] * wy * wx
+        )
+
+        # remaining phase: output-grid cell-center offset only
+        phase = jnp.exp(-2j * jnp.pi * r[None, :] * c / P)
+        p = jnp.fft.ifft(S * phase, axis=-1).real * dv  # [B, P]
+        return p[:, :n]
+
     def calc_chi_vals(self, vx, DF, inputs):
         """Per-point susceptibility (exact mode; reference form_factor.py:349-388)."""
         beta, xie_mag_at, klde_mag_at = inputs
@@ -293,12 +347,15 @@ class FormFactor:
         betas = jnp.linspace(0.0, 2.0 * jnp.pi, B, endpoint=False)
         dvx = vx[1] - vx[0]
 
-        def one(beta):
-            f1d = self._project(vx, DF, beta)
-            df1d = jnp.gradient(f1d, dvx)
-            return f1d, df1d
+        if self.projection == "fourier":
+            f1d = self._project_all_fourier(vx, DF, betas)
+            df1d = jnp.gradient(f1d, dvx, axis=-1)
+        else:  # per-angle bicubic rotation + sum (reference-style projection)
+            def one(beta):
+                f1d_one = self._project(vx, DF, beta)
+                return f1d_one, jnp.gradient(f1d_one, dvx)
 
-        f1d, df1d = jax.lax.map(jax.checkpoint(one), betas, batch_size=32)
+            f1d, df1d = jax.lax.map(jax.checkpoint(one), betas, batch_size=32)
 
         # chi_R tables on the vx midpoint-pole grid via Toeplitz matmuls
         kernel = ratint.pv_toeplitz_kernel(vx.shape[0] - 2)
