@@ -1,0 +1,52 @@
+"""End-to-end ARTS fit through the production pipeline: prepare (resolution-unit
+downsampling of real ATS CCD data) -> angular_optax -> postprocess.
+
+Reduced epoch count; gates on pipeline integrity (finite decreasing loss,
+outputs produced), not convergence.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tsadar_tpu.inverse import fitter
+from tsadar_tpu.utils import mlflow_shim as mlflow
+from tsadar_tpu.utils.config import merge_configs
+
+HERE = os.path.dirname(__file__)
+CONFIGS = os.path.join(HERE, "..", "configs")
+
+
+@pytest.mark.slow
+def test_angular_fit_end_to_end(tmp_path):
+    with open(os.path.join(CONFIGS, "arts1v_test_defaults.yaml")) as fi:
+        defaults = yaml.safe_load(fi)
+    with open(os.path.join(CONFIGS, "arts1v_test_inputs.yaml")) as fi:
+        inputs = yaml.safe_load(fi)
+    config = merge_configs(defaults, inputs)
+    config["optimizer"]["num_epochs"] = 8
+    config["optimizer"]["method"] = "adam"
+    config["optimizer"]["learning_rate"] = 5e-3
+    config["optimizer"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+    config["optimizer"]["checkpoint_freq"] = 4
+    config["other"]["calc_sigmas"] = False
+    config["data"]["launch_data_visualizer"] = False
+
+    os.environ["TSADAR_RUNS_DIR"] = str(tmp_path)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        with mlflow.start_run(run_name="arts_e2e"):
+            fit_results, loss = fitter.fit(config=config)
+    finally:
+        os.chdir(cwd)
+
+    assert np.isfinite(loss)
+    # fitted-parameter report produced with the reference's naming convention
+    assert any(k.endswith("_general") or k.endswith("_electron") for k in fit_results)
+    # checkpoint written and resumable
+    from tsadar_tpu.utils.checkpoint import latest_epoch
+
+    assert latest_epoch(str(tmp_path / "ckpt")) is not None

@@ -54,16 +54,28 @@ class ThomsonScatteringDiagnostic:
             ThryE = modlE
         return ThryE, ThryI, lamAxisE, lamAxisI
 
+    @staticmethod
+    def _block_mean(a, step, axis):
+        """Mean over contiguous blocks of ``step`` along ``axis``; a ragged final
+        block is averaged over its actual length (reference comprehension
+        semantics, thomson_diagnostic.py:96-101)."""
+        a = jnp.moveaxis(a, axis, 0)
+        n = a.shape[0]
+        n_full = n // step
+        full = a[: n_full * step].reshape(n_full, step, *a.shape[1:]).mean(axis=1)
+        if n_full * step < n:
+            tail = a[n_full * step :].mean(axis=0, keepdims=True)
+            full = jnp.concatenate([full, tail], axis=0)
+        return jnp.moveaxis(full, 0, axis)
+
     def reduce_ATS_to_resunit(self, ThryE, lamAxisE, TSins, batch):
         """Block-average to detector resolution units (reference :78-107)."""
         n_ang, n_lam = ThryE.shape
         lam_step = round(n_lam / batch["e_data"].shape[1])
         ang_step = round(n_ang / self.cfg["other"]["CCDsize"][0])
-        n_lam_out = n_lam // lam_step
-        n_ang_out = n_ang // ang_step
 
-        ThryE = ThryE.reshape(n_ang_out, ang_step, n_lam_out, lam_step).mean(axis=(1, 3))
-        lamAxisE = lamAxisE.reshape(n_lam_out, lam_step).mean(axis=1)
+        ThryE = self._block_mean(self._block_mean(ThryE, lam_step, 1), ang_step, 0)
+        lamAxisE = self._block_mean(lamAxisE, lam_step, 0)
 
         ThryE = ThryE[self.cfg["data"]["lineouts"]["start"] : self.cfg["data"]["lineouts"]["end"], :]
         ThryE = batch["e_amps"] * ThryE / jnp.amax(ThryE, axis=1, keepdims=True)

@@ -37,8 +37,9 @@ def _masked_reduce(err, mask, reduce_func):
     if reduce_func == "sum":
         return jnp.sum(jnp.where(mask, err, 0.0))
     if reduce_func == "mean_axis1":
-        num = jnp.sum(jnp.where(mask, err, 0.0), axis=1)
-        den = jnp.sum(mask, axis=1)
+        bmask = jnp.broadcast_to(mask, err.shape)
+        num = jnp.sum(jnp.where(bmask, err, 0.0), axis=1)
+        den = jnp.sum(bmask, axis=1)
         return num / jnp.maximum(den, 1)
     raise NotImplementedError(reduce_func)
 
