@@ -101,6 +101,18 @@ def main():
     final = combine(dp, static)
     per_lineout_loss, *_ = loss_fn.array_loss(final, batch)
 
+    # fit-quality check: compare recovered parameters at the lineouts covered by
+    # the historically-validated single-batch CPU fit (tests/test_inverse/
+    # test_1d_data.py: Te=0.641, ne=0.228, m=3.20 at pixels ~500-510)
+    unnormed = final.get_unnormed_params()
+    pixels = np.asarray(config["data"]["lineouts"]["val"])
+    sel = np.where((pixels >= 500) & (pixels <= 510))[0]
+    quality = {
+        "Te_at_500-510": [round(float(np.asarray(unnormed["electron"]["Te"])[i], ), 4) for i in sel],
+        "ne_at_500-510": [round(float(np.asarray(unnormed["electron"]["ne"])[i]), 4) for i in sel],
+        "m_at_500-510": [round(float(np.asarray(unnormed["electron"]["m"])[i]), 3) for i in sel],
+    }
+
     print(
         json.dumps(
             {
@@ -114,6 +126,7 @@ def main():
                 "final_loss": float(values[-1]),
                 "median_per_lineout_loss": float(np.median(np.asarray(per_lineout_loss))),
             }
+            | quality
         )
     )
 
