@@ -18,8 +18,6 @@ data-dependent control flow).  Gradients use the exact identity D'(x) = 1 - 2 x 
 via custom_jvp.
 """
 
-from functools import partial
-
 import jax
 from jax import numpy as jnp
 

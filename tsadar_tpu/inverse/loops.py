@@ -15,14 +15,12 @@ parts").
 """
 
 import pickle
-import time
 from typing import Dict, List, Tuple
 
 import numpy as np
 import optax
 
 import jax
-from jax import numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from ..core.params import ThomsonParams, get_filter_spec, partition, combine

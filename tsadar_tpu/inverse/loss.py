@@ -14,7 +14,6 @@ TPU-first changes:
   compatibility path.
 """
 
-import copy
 from typing import Dict
 
 import numpy as np
@@ -24,7 +23,7 @@ from jax import numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from ..core.diagnostic import ThomsonScatteringDiagnostic
-from ..core.params import get_filter_spec, partition, combine
+from ..core.params import combine
 from ..utils.vector_tools import rotate_edf
 
 
