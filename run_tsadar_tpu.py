@@ -13,6 +13,13 @@ from jax import config as jax_config
 os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 import jax
 
+# persistent compilation cache: TPU compiles dominate first-run wall clock
+jax_config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TSADAR_COMPILE_CACHE", os.path.join(os.path.expanduser("~"), ".tsadar_jax_cache")),
+)
+jax_config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 if jax.default_backend() == "cpu":
     jax_config.update("jax_enable_x64", True)
 
@@ -28,6 +35,8 @@ if __name__ == "__main__":
     if args.run_id is not None:
         run_job(args.run_id, mode=args.mode, nested=False)
     else:
+        if args.cfg is None:
+            parser.error("--cfg <config_dir> is required (or pass --run_id to resume a run)")
         run(args.cfg, mode=args.mode)
 
     if "MLFLOW_EXPORT" in os.environ:

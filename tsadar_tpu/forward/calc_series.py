@@ -8,6 +8,8 @@ as .npz + CSV (xarray/netCDF is not a dependency) plus plots.
 """
 
 import os
+
+import jax
 import tempfile
 from time import time
 
@@ -88,8 +90,12 @@ def forward_pass(config):
                     )
 
         ts_params = ThomsonParams.create(config["parameters"], num_params=1, batch=not is_angular)
-        ts_diag = ThomsonScatteringDiagnostic(config, scattering_angles=sas)
-        ThryE[i], ThryI[i], lamAxisE[i], lamAxisI[i] = ts_diag(ts_params, dummy_batch)
+        if i == 0:
+            ts_diag = ThomsonScatteringDiagnostic(config, scattering_angles=sas)
+            # params enter as a pytree argument: one compile for the whole series
+            # (the axon TPU runtime cannot execute ops eagerly at all)
+            ts_diag_jit = jax.jit(lambda tp, b: ts_diag(tp, b))
+        ThryE[i], ThryI[i], lamAxisE[i], lamAxisI[i] = jax.device_get(ts_diag_jit(ts_params, dummy_batch))
 
     spectime = time() - t_start
     ThryE = np.array(ThryE)
