@@ -94,16 +94,25 @@ class ThomsonScatteringDiagnostic:
         from scipy.signal import find_peaks
         from jax import vmap as _vmap
 
-        physical_params = ts_params()
-        if self.batched:
-            detailed = _vmap(self.model.detailed_spectrum)(physical_params)
-        else:
-            detailed = self.model.detailed_spectrum(physical_params)
-        modlE, modlI, ThryE, ThryI, lamAxisE_raw, lamAxisI_raw = detailed
-        amps = {"e_amps": batch["e_amps"], "i_amps": batch["i_amps"]}
-        modlE, modlI, lamAxisE, lamAxisI = self._postprocess(
-            modlE, modlI, lamAxisE_raw, lamAxisI_raw, amps, physical_params
+        import jax as _jax
+
+        # jit the device work: the axon TPU runtime cannot execute ops eagerly
+        @_jax.jit
+        def _detailed(tp, b):
+            physical = tp()
+            if self.batched:
+                det = _vmap(self.model.detailed_spectrum)(physical)
+            else:
+                det = self.model.detailed_spectrum(physical)
+            mE, mI, TE, TI, lE_raw, lI_raw = det
+            a = {"e_amps": b["e_amps"], "i_amps": b["i_amps"]}
+            mE, mI, lE, lI = self._postprocess(mE, mI, lE_raw, lI_raw, a, physical)
+            return physical, mE, mI, TE, TI, lE, lI, lE_raw, lI_raw
+
+        physical_params, modlE, modlI, ThryE, ThryI, lamAxisE, lamAxisI, lamAxisE_raw, lamAxisI_raw = _detailed(
+            ts_params, batch
         )
+        amps = {"e_amps": batch["e_amps"], "i_amps": batch["i_amps"]}
 
         # IRF-only spectra: delta functions at the two most prominent peaks
         def _irf_deltas(spectra):
@@ -122,23 +131,27 @@ class ThomsonScatteringDiagnostic:
 
         eIRF = _irf_deltas(np.atleast_2d(np.asarray(modlE))) if self.cfg["other"]["extraoptions"]["load_ele_spec"] else jnp.zeros_like(modlE)
         iIRF = _irf_deltas(np.atleast_2d(np.asarray(modlI))) if self.cfg["other"]["extraoptions"]["load_ion_spec"] else jnp.zeros_like(modlI)
-        eIRF, iIRF, lamAxisE, lamAxisI = self._postprocess(
-            eIRF, iIRF, lamAxisE, lamAxisI, amps, physical_params
+
+        @_jax.jit
+        def _finish(tp, b, mE, mI, TE, TI, eI, iI, lE, lI):
+            physical = tp()
+            a = {"e_amps": b["e_amps"], "i_amps": b["i_amps"]}
+            eI, iI, lE, lI = self._postprocess(eI, iI, lE, lI, a, physical)
+            if self.cfg["other"]["extraoptions"]["spectype"] == "angular_full":
+                mE, lE = self.reduce_ATS_to_resunit(TE, lE, physical, b)
+            mE = mE + b["noise_e"]
+            mI = mI + b["noise_i"]
+            if self.cfg["other"]["extraoptions"]["load_ele_spec"]:
+                TE = jnp.reshape(b["e_amps"], (-1, 1, 1, 1)) * TE / jnp.amax(TE)
+                eI = jnp.reshape(b["e_amps"], (-1, 1)) * eI / jnp.amax(eI)
+            if self.cfg["other"]["extraoptions"]["load_ion_spec"]:
+                TI = jnp.reshape(b["i_amps"], (-1, 1, 1, 1)) * TI / jnp.amax(TI)
+                iI = jnp.reshape(b["i_amps"], (-1, 1)) * iI / jnp.amax(iI)
+            return mE, mI, TE, TI, eI, iI, lE, lI
+
+        modlE, modlI, ThryE, ThryI, eIRF, iIRF, lamAxisE, lamAxisI = _finish(
+            ts_params, batch, modlE, modlI, ThryE, ThryI, eIRF, iIRF, lamAxisE, lamAxisI
         )
-
-        if self.cfg["other"]["extraoptions"]["spectype"] == "angular_full":
-            modlE, lamAxisE = self.reduce_ATS_to_resunit(ThryE, lamAxisE, physical_params, batch)
-
-        modlE = modlE + batch["noise_e"]
-        modlI = modlI + batch["noise_i"]
-
-        if self.cfg["other"]["extraoptions"]["load_ele_spec"]:
-            ThryE = jnp.reshape(batch["e_amps"], (-1, 1, 1, 1)) * ThryE / jnp.amax(ThryE)
-            eIRF = jnp.reshape(batch["e_amps"], (-1, 1)) * eIRF / jnp.amax(eIRF)
-        if self.cfg["other"]["extraoptions"]["load_ion_spec"]:
-            ThryI = jnp.reshape(batch["i_amps"], (-1, 1, 1, 1)) * ThryI / jnp.amax(ThryI)
-            iIRF = jnp.reshape(batch["i_amps"], (-1, 1)) * iIRF / jnp.amax(iIRF)
-
         return modlE, modlI, ThryE, ThryI, eIRF, iIRF, lamAxisE, lamAxisI, lamAxisE_raw, lamAxisI_raw
 
     def __call__(self, ts_params, batch):

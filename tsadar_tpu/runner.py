@@ -52,6 +52,8 @@ def load_and_make_folders(cfg_path: str) -> Tuple[str, Dict]:
 
 
 def run(cfg_path: str, mode: str) -> str:
+    if mode.casefold() not in ("fit", "forward", "series"):
+        raise NotImplementedError(f"Mode {mode} not implemented (use fit, forward, or series)")
     run_id, all_configs = load_and_make_folders(cfg_path)
     config = merge_configs(all_configs["defaults"], all_configs["inputs"])
     with mlflow.start_run(run_id=run_id, log_system_metrics=True):
