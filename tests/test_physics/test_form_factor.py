@@ -151,3 +151,32 @@ def test_form_factor_differentiable():
 
     g = jax.grad(loss)(0.5)
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_zero_edf_tail_stays_finite_in_f32():
+    """EDF tails that underflow to exact 0.0 in f32 must not NaN the spectrum.
+
+    Regression: the log-space clamp used a 1e-300 literal, which underflows to
+    0.0 in float32 (the TPU working dtype) and silently re-admitted log(0) =
+    -inf; one matmul then spread NaN across the whole lineout.  High-m DLM
+    EDFs hit exact zeros in their f32 tails during whole-shot fits.
+    """
+    nv = 512
+    dv = 2 * 6.0 / nv
+    vx = jnp.linspace(-6.0 + dv / 2, 6.0 - dv / 2, nv, dtype=jnp.float32)
+    fe = jnp.exp(-((jnp.abs(vx) / 1.2) ** 5.0))  # super-Gaussian, m=5
+    fe = (fe / jnp.sum(fe) / dv).astype(jnp.float32)
+    fe = jnp.where(jnp.abs(vx) > 4.0, 0.0, fe)  # force exact zeros in the tail
+    assert float(jnp.min(fe)) == 0.0
+
+    ff = FormFactor(
+        [400, 700],
+        npts=512,
+        lam_shift=0.0,
+        scattering_angles={"sa": np.array([60.0])},
+        num_grad_points=1,
+    )
+    params = _params(fe, vx.astype(jnp.float32), Te=0.6, ne=0.2)
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else a, params)
+    spectrum, lams = jax.jit(ff)(params)
+    assert bool(jnp.all(jnp.isfinite(spectrum)))

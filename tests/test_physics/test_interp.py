@@ -77,3 +77,58 @@ def test_cubic_interp_differentiable():
         return jnp.sum(interp1d_cubic(jnp.linspace(0.1, 0.9, 50), x, f) ** 2)
 
     assert np.isfinite(float(jax.grad(loss)(2.0)))
+
+
+def test_blocked_linear_matches_gather_linear():
+    """interp1d_linear_blocked (TPU gather-free path) == interp1d_linear_uniform.
+
+    Forward must be bit-exact in f32 (three-term bf16 split recovers the full
+    f32 mantissa); cotangents agree to f32 roundoff (different summation order).
+    """
+    from tsadar_tpu.core.physics.interp import (
+        interp1d_linear_blocked,
+        interp1d_linear_uniform,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 2043  # production chi_R table length (interleaved mid+node poles)
+    x = jnp.asarray(np.linspace(-8.2, 8.2, n), jnp.float32)
+    f = jnp.asarray(rng.standard_normal(n) * 50, jnp.float32)
+    xq = jnp.asarray(rng.uniform(-9.0, 9.0, 4096), jnp.float32)  # incl. out-of-range
+
+    a = interp1d_linear_uniform(xq, x, f)
+    b = interp1d_linear_blocked(xq, x, f)
+    assert_allclose(np.asarray(b), np.asarray(a), rtol=0, atol=0)
+
+    ga = jax.grad(lambda f_: jnp.sum(jnp.sin(interp1d_linear_uniform(xq, x, f_))))(f)
+    gb = jax.grad(lambda f_: jnp.sum(jnp.sin(interp1d_linear_blocked(xq, x, f_))))(f)
+    assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-5, atol=1e-4)
+
+    ha = jax.grad(lambda q: jnp.sum(jnp.sin(interp1d_linear_uniform(q, x, f))))(xq)
+    hb = jax.grad(lambda q: jnp.sum(jnp.sin(interp1d_linear_blocked(q, x, f))))(xq)
+    assert_allclose(np.asarray(hb), np.asarray(ha), rtol=1e-5, atol=1e-3)
+
+
+def test_blocked_linear_vmapped_per_lineout_tables():
+    """The production pattern: vmap over per-lineout (queries, tables)."""
+    from tsadar_tpu.core.physics.interp import (
+        interp1d_linear_blocked,
+        interp1d_linear_uniform,
+    )
+
+    rng = np.random.default_rng(3)
+    n, B = 517, 6  # non-multiple of block: exercises the padding
+    x = jnp.asarray(np.linspace(-4.0, 4.0, n), jnp.float32)
+    fb = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    qb = jnp.asarray(rng.uniform(-4.5, 4.5, (B, 64, 10)), jnp.float32)
+
+    va = jax.vmap(lambda q, f_: interp1d_linear_uniform(q, x, f_))(qb, fb)
+    vb = jax.vmap(lambda q, f_: interp1d_linear_blocked(q, x, f_))(qb, fb)
+    assert_allclose(np.asarray(vb), np.asarray(va), rtol=0, atol=0)
+
+    def tot(fn, fb_):
+        return jnp.sum(jnp.sin(jax.vmap(lambda q, f_: fn(q, x, f_))(qb, fb_)))
+
+    ga = jax.grad(lambda fb_: tot(interp1d_linear_uniform, fb_))(fb)
+    gb = jax.grad(lambda fb_: tot(interp1d_linear_blocked, fb_))(fb)
+    assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-5, atol=1e-5)

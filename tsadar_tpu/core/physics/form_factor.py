@@ -42,6 +42,7 @@ from .interp import (
     interp1d_cubic_matmul,
     interp2d_cubic,
     interp1d_linear_uniform,
+    interp1d_linear_blocked,
 )
 from .zprime import zprime
 
@@ -214,8 +215,12 @@ class FormFactor:
 
         # electron susceptibility at xie (form_factor.py:253-271)
         xie = omgdop / (k * vTe) - ud / vTe  # [G,L,A]
-        # clamp so exact zeros in the EDF tail cannot poison the log-space interp
-        log_fe = jnp.log(jnp.maximum(fe, 1e-300))
+        # clamp so exact zeros in the EDF tail cannot poison the log-space interp.
+        # The floor must be representable in the WORKING dtype: a literal like
+        # 1e-300 underflows to 0.0 in f32 (TPU), silently re-admitting log(0)
+        # = -inf, which a single matmul then spreads across the whole lineout.
+        tiny = jnp.finfo(jnp.result_type(fe)).tiny
+        log_fe = jnp.log(jnp.maximum(fe, tiny))
         fe_vphi = jnp.exp(interp1d_cubic_matmul(xie, vx, log_fe, extrap=(-50.0, -50.0)))
 
         df = jnp.diff(fe_vphi, 1, axis=1) / jnp.diff(xie, 1, axis=1)
@@ -231,7 +236,14 @@ class FormFactor:
         n_tab = mid_poles.shape[0] + node_poles.shape[0]
         pv_poles = jnp.zeros(n_tab, mid_poles.dtype).at[0::2].set(mid_poles).at[1::2].set(node_poles)
         chiERratprim = jnp.zeros(n_tab, mid_vals.dtype).at[0::2].set(mid_vals).at[1::2].set(node_vals)
-        chiERrat = interp1d_linear_uniform(xie, pv_poles, chiERratprim)
+        if jax.default_backend() == "tpu":
+            # gather-free two-level one-hot contraction: the axon compiler
+            # nondeterministically lowers this batched 1D gather ~500x slow
+            # (CLAUDE.md "Open performance lead"); the blocked form is pure
+            # MXU/VPU work with matmul transposes in the backward pass
+            chiERrat = interp1d_linear_blocked(xie, pv_poles, chiERratprim)
+        else:
+            chiERrat = interp1d_linear_uniform(xie, pv_poles, chiERratprim)
         chiERrat = -1.0 / (klde**2) * chiERrat
 
         chiE = chiERrat + chiEI

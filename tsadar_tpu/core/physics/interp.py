@@ -104,6 +104,121 @@ def _lin_uniform_bwd(res, g):
 interp1d_linear_uniform.defvjp(_lin_uniform_fwd, _lin_uniform_bwd)
 
 
+_BLOCK = 8  # fwd+bwd sweet spot measured on v5e (see CLAUDE.md perf notes)
+
+
+@_jax.custom_vjp
+def interp1d_linear_blocked(xq, x, f):
+    """Linear interpolation on a UNIFORM grid with NO hardware gather.
+
+    Numerically identical to ``interp1d_linear_uniform`` (jnp.interp edge
+    clamping) but the table lookup is restructured as a two-level one-hot
+    contraction, for backends where per-element gathers lower poorly (the TPU
+    compiler nondeterministically picks a ~500x-slow lowering for batched 1D
+    gathers; see CLAUDE.md "Open performance lead"):
+
+      1. pad f to K*block+1 entries and view it as K overlapping segments of
+         ``block+1``; a [Q, K] one-hot (exact in bf16) times the [K, block+1]
+         segment table — one MXU matmul — lands each query's segment;
+         the table is split hi/lo in bf16 so the f32 values survive exactly
+         (one-hot entries are exact, accumulation is f32).
+      2. the within-segment index (< block) selects f[i0], f[i0+1] via an
+         iota-compare reduction — pure elementwise VPU work that XLA fuses.
+
+    The backward pass is a custom VJP: the table cotangent is the transposed
+    one-hot contraction evaluated in f32 (exact weights), the query cotangent
+    the usual slope formula with edge masking — no scatter anywhere.  Intended
+    for f32 tables on TPU; on CPU/f64 prefer ``interp1d_linear_uniform``.
+    """
+    out, _ = _blocked_fwd_impl(xq, x, f, _BLOCK)
+    return out
+
+
+def _blocked_segments(f, n, block):
+    """[..., K, block+1] overlapping segment view of the padded table."""
+    nblk = -(-(n - 1) // block)
+    npad = nblk * block + 1
+    fpad = jnp.concatenate([f, jnp.zeros(f.shape[:-1] + (npad - n,), f.dtype)], axis=-1)
+    body = fpad[..., :-1].reshape(fpad.shape[:-1] + (nblk, block))
+    edge = fpad[..., block::block][..., None]  # fpad[block*(k+1)] for each k
+    return jnp.concatenate([body, edge], axis=-1), nblk
+
+
+def _blocked_indices(xq, x, block):
+    n = x.shape[0]
+    raw = (xq - x[0]) / (x[1] - x[0])
+    pos = jnp.clip(raw, 0.0, n - 1.0)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    w = pos - i0
+    blk = (i0 // block).reshape(-1)
+    lo = (i0 - (i0 // block) * block).reshape(-1)
+    inside = ((raw > 0.0) & (raw < n - 1.0)).reshape(-1)
+    return blk, lo, w.reshape(-1), inside
+
+
+def _blocked_fwd_impl(xq, x, f, block):
+    n = x.shape[0]
+    seg, nblk = _blocked_segments(f, n, block)
+    # three-term bf16 split: values survive to ~2^-27 relative (one-hot rows
+    # are exact in bf16; accumulation is f32)
+    s1 = seg.astype(jnp.bfloat16)
+    r1 = seg - s1.astype(seg.dtype)
+    s2 = r1.astype(jnp.bfloat16)
+    s3 = (r1 - s2.astype(seg.dtype)).astype(jnp.bfloat16)
+    segcat = jnp.concatenate([s1, s2, s3], axis=-1)  # [..., K, 3*(block+1)]
+
+    blk, lo, w, inside = _blocked_indices(xq, x, block)
+    w = w.astype(f.dtype)
+    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    S3 = jnp.matmul(onehot, segcat, preferred_element_type=f.dtype)  # [Q, 3*(block+1)]
+    c = block + 1
+    S = S3[..., :c] + S3[..., c : 2 * c] + S3[..., 2 * c :]  # [Q, block+1]
+
+    oh = (lo[:, None] == jnp.arange(block, dtype=jnp.int32)[None, :]).astype(f.dtype)
+    f0 = jnp.sum(oh * S[..., :block], axis=-1)
+    f1 = jnp.sum(oh * S[..., 1:], axis=-1)
+    out = (f0 * (1.0 - w) + f1 * w).reshape(jnp.shape(xq))
+    return out, (f0, f1)
+
+
+def _blocked_vjp_fwd(xq, x, f):
+    out, (f0, f1) = _blocked_fwd_impl(xq, x, f, _BLOCK)
+    return out, (xq, x, f, f0, f1)
+
+
+def _blocked_vjp_bwd(res, g):
+    block = _BLOCK
+    xq, x, f, f0, f1 = res
+    n = x.shape[0]
+    dx = x[1] - x[0]
+    blk, lo, w, inside = _blocked_indices(xq, x, block)
+    w = w.astype(f.dtype)
+    gq = g.reshape(-1).astype(f.dtype)
+
+    dxq = jnp.where(inside, gq * (f1 - f0) / dx, 0.0).reshape(jnp.shape(xq)).astype(xq.dtype)
+
+    # table cotangent: per-query 17-wide segment cotangent, folded back through
+    # the transposed one-hot contraction — all f32, all matmuls.
+    jj = jnp.arange(block + 1, dtype=jnp.int32)[None, :]
+    cot = gq[:, None] * (
+        (lo[:, None] == jj) * (1.0 - w[:, None]) + ((lo + 1)[:, None] == jj) * w[:, None]
+    ).astype(f.dtype)  # [Q, block+1]
+    nblk = -(-(n - 1) // block)
+    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(f.dtype)
+    # HIGHEST: the TPU default rounds f32 matmul operands to bf16
+    dseg = jnp.matmul(
+        onehot.T, cot, preferred_element_type=f.dtype, precision=_jax.lax.Precision.HIGHEST
+    )  # [K, block+1]
+    # fold overlapping segments: seg[k, j] -> fpad[block*k + j]
+    npad = nblk * block + 1
+    dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((1,), f.dtype)], axis=-1)
+    dfpad = dfpad.at[block::block].add(dseg[:, block])
+    return dxq, jnp.zeros_like(x), dfpad[:n]
+
+
+interp1d_linear_blocked.defvjp(_blocked_vjp_fwd, _blocked_vjp_bwd)
+
+
 def _hermite_eval(t, h, f0, f1, d0, d1):
     """Cubic Hermite on one cell; t normalized to [0, 1] (unclamped -> extrapolates)."""
     t2 = t * t

@@ -86,7 +86,8 @@ class LossFunction:
         if method == "log-cosh":
             return jnp.log(jnp.cosh(d - t))
         if method == "poisson":
-            return t - d * jnp.log(jnp.maximum(t, 1e-300))
+            # floor must survive the working dtype: 1e-300 underflows to 0 in f32
+            return t - d * jnp.log(jnp.maximum(t, jnp.finfo(jnp.result_type(t)).tiny))
         raise NotImplementedError(method)
 
     def calc_ei_error(self, batch, ThryI, lamAxisI, ThryE, lamAxisE, uncert, reduce_func="mean"):
