@@ -132,3 +132,49 @@ def test_blocked_linear_vmapped_per_lineout_tables():
     ga = jax.grad(lambda fb_: tot(interp1d_linear_uniform, fb_))(fb)
     gb = jax.grad(lambda fb_: tot(interp1d_linear_blocked, fb_))(fb)
     assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-5, atol=1e-5)
+
+
+def test_periodic_rowmix_plus_column_select_matches_bilinear():
+    """The 2V TPU path (rowmix + column select) == _interp_beta_v bilinear gather."""
+    from tsadar_tpu.core.physics.form_factor import FormFactor
+    from tsadar_tpu.core.physics.interp import (
+        periodic_linear_rowmix,
+        select_columns_linear,
+    )
+
+    rng = np.random.default_rng(11)
+    R, N, Q = 256, 128, 4097
+    v0, dv = -6.0, 12.0 / N
+
+    # rough random table: forward values must agree to the hi/lo-split precision
+    table = jnp.asarray(rng.standard_normal((R, N)) * 3, jnp.float32)
+    beta_q = jnp.asarray(rng.uniform(-7.0, 13.0, Q), jnp.float32)  # wraps both ways
+    v_q = jnp.asarray(rng.uniform(-7.0, 7.0, Q), jnp.float32)  # incl. clamped
+    ref = FormFactor._interp_beta_v(table, v0, dv, beta_q, v_q)
+    got = select_columns_linear(periodic_linear_rowmix(table, beta_q), v0, dv, v_q)
+    # hi/lo bf16 splits carry ~2^-16 of the table scale (|T| ~ 12 here); the
+    # consumer (2V table mode) tolerates 2e-2 vs exact mode
+    assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=1e-3)
+
+    # gradients on a SMOOTH table: piecewise-linear interp has discontinuous
+    # derivatives at cell boundaries, where the two implementations may round
+    # the cell index differently; smoothness keeps adjacent-cell slopes close
+    # so the comparison tests the math rather than boundary tie-breaking.
+    bgrid = np.linspace(0, 2 * np.pi, R, endpoint=False)
+    vgrid = v0 + dv * np.arange(N)
+    smooth = jnp.asarray(
+        3.0 * np.sin(2 * bgrid)[:, None] * np.exp(-0.5 * (vgrid[None, :] / 3.0) ** 2),
+        jnp.float32,
+    )
+
+    def loss(impl, t, b, v):
+        if impl == "ref":
+            out = FormFactor._interp_beta_v(t, v0, dv, b, v)
+        else:
+            out = select_columns_linear(periodic_linear_rowmix(t, b), v0, dv, v)
+        return jnp.sum(jnp.sin(out))
+
+    for arg in range(3):
+        ga = jax.grad(lambda t, b, v: loss("ref", t, b, v), argnums=arg)(smooth, beta_q, v_q)
+        gb = jax.grad(lambda t, b, v: loss("new", t, b, v), argnums=arg)(smooth, beta_q, v_q)
+        assert_allclose(np.asarray(gb), np.asarray(ga), rtol=0, atol=5e-3)

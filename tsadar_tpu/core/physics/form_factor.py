@@ -43,6 +43,8 @@ from .interp import (
     interp2d_cubic,
     interp1d_linear_uniform,
     interp1d_linear_blocked,
+    periodic_linear_rowmix,
+    select_columns_linear,
 )
 from .zprime import zprime
 
@@ -431,9 +433,26 @@ class FormFactor:
 
         dvx = vx[1] - vx[0]
         dpole = pole_grid[1] - pole_grid[0]
-        fe_vphi = self._interp_beta_v(f1d, vx[0], dvx, beta, xie_mag)
-        dfe = self._interp_beta_v(df1d, vx[0], dvx, beta, xie_mag)
-        chiR_raw = self._interp_beta_v(chiR_tab, pole_grid[0], dpole, beta, xie_mag)
+        if jax.default_backend() == "tpu":
+            # gather-free: one fractional-two-hot row contraction over the
+            # stacked (f1d | df1d | chiR) tables beta-interpolates all three at
+            # once; the v-axis selection is elementwise iota-compare work.
+            # The TPU compiler lowers the per-point bilinear gathers ~10x slow
+            # (CLAUDE.md); this form is pure MXU/VPU.
+            nvx = f1d.shape[-1]
+            Tcat = jnp.concatenate([f1d, df1d, chiR_tab], axis=-1)  # [B, 2*nvx+M]
+            S = periodic_linear_rowmix(Tcat, beta.reshape(-1))  # [Q, 2*nvx+M]
+            xq = xie_mag.reshape(-1)
+            fe_vphi = select_columns_linear(S[:, :nvx], vx[0], dvx, xq)
+            dfe = select_columns_linear(S[:, nvx : 2 * nvx], vx[0], dvx, xq)
+            chiR_raw = select_columns_linear(S[:, 2 * nvx :], pole_grid[0], dpole, xq)
+            fe_vphi = fe_vphi.reshape(beta.shape)
+            dfe = dfe.reshape(beta.shape)
+            chiR_raw = chiR_raw.reshape(beta.shape)
+        else:
+            fe_vphi = self._interp_beta_v(f1d, vx[0], dvx, beta, xie_mag)
+            dfe = self._interp_beta_v(df1d, vx[0], dvx, beta, xie_mag)
+            chiR_raw = self._interp_beta_v(chiR_tab, pole_grid[0], dpole, beta, xie_mag)
 
         chiEI = jnp.pi / (klde_mag**2) * dfe
         chiERrat = -1.0 / (klde_mag**2) * chiR_raw

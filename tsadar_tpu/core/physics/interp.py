@@ -361,3 +361,90 @@ def interp2d_cubic(xq, yq, x, y, f, extrap=True):
         inside = (xq >= x[0]) & (xq <= x[-1]) & (yq >= y[0]) & (yq <= y[-1])
         out = jnp.where(inside, out, extrap)
     return out
+
+
+def _rowmix_indices(R, beta_q):
+    """Periodic row indices/weight for a [0, 2pi) row grid of R rows."""
+    two_pi = 2.0 * jnp.pi
+    bpos = (beta_q % two_pi) * (R / two_pi)
+    ifl = jnp.floor(bpos)
+    ib0 = ifl.astype(jnp.int32) % R
+    ib1 = (ib0 + 1) % R
+    wb = bpos - ifl
+    return ib0, ib1, wb
+
+
+@_jax.custom_vjp
+def periodic_linear_rowmix(T, beta_q):
+    """Row-interpolate T[R, C] at angles beta_q: out[q, :] = lerp(T[ib0], T[ib1], wb).
+
+    Rows live on a uniform periodic grid beta_r = 2*pi*r/R.  The lookup is a
+    fractional two-hot [Q, R] contraction with the weight matrix split hi/lo in
+    bfloat16 (result exact to ~2^-17 relative) — no hardware gather, so the TPU
+    compiler's pathological batched-gather lowering (CLAUDE.md) never triggers.
+    Used by the 2V chi table mode: one rowmix over the stacked
+    (f1d | df1d | chiR) tables replaces three bilinear gathers; the remaining
+    v-axis selection is elementwise (``select_columns_linear``).
+
+    Custom VJP: dT = W^T @ g (f32, HIGHEST), dbeta = sum(g * (T[ib1]-T[ib0]))/dbeta.
+    """
+    R, C = T.shape
+    qshape = jnp.shape(beta_q)
+    ib0, ib1, wb = _rowmix_indices(R, beta_q.reshape(-1))
+    rows = jnp.arange(R, dtype=jnp.int32)[None, :]
+    wb = wb.astype(T.dtype)
+    W = (1.0 - wb)[:, None] * (ib0[:, None] == rows) + wb[:, None] * (ib1[:, None] == rows)
+    Wh = W.astype(jnp.bfloat16)
+    Wl = (W - Wh.astype(W.dtype)).astype(jnp.bfloat16)
+    Th = T.astype(jnp.bfloat16)
+    Tl = (T - Th.astype(T.dtype)).astype(jnp.bfloat16)
+    Wcat = jnp.concatenate([Wh, Wl], axis=1)  # [Q, 2R]
+    out = jnp.matmul(Wcat, jnp.concatenate([Th, Th], axis=0), preferred_element_type=T.dtype)
+    out = out + jnp.matmul(
+        Wcat, jnp.concatenate([Tl, Tl], axis=0), preferred_element_type=T.dtype
+    )
+    return out.reshape(qshape + (C,))
+
+
+def _rowmix_vjp_fwd(T, beta_q):
+    return periodic_linear_rowmix(T, beta_q), (T, beta_q)
+
+
+def _rowmix_vjp_bwd(res, g):
+    T, beta_q = res
+    R, C = T.shape
+    qshape = jnp.shape(beta_q)
+    ib0, ib1, wb = _rowmix_indices(R, beta_q.reshape(-1))
+    gq = g.reshape(-1, C).astype(T.dtype)
+    rows = jnp.arange(R, dtype=jnp.int32)[None, :]
+    wb = wb.astype(T.dtype)
+    oh0 = (ib0[:, None] == rows).astype(T.dtype)
+    oh1 = (ib1[:, None] == rows).astype(T.dtype)
+    W = (1.0 - wb)[:, None] * oh0 + wb[:, None] * oh1
+    hi = _jax.lax.Precision.HIGHEST  # TPU default rounds f32 operands to bf16
+    dT = jnp.matmul(W.T, gq, preferred_element_type=T.dtype, precision=hi)
+    rowdiff = jnp.matmul(oh1 - oh0, T, preferred_element_type=T.dtype, precision=hi)
+    dbeta = jnp.sum(gq * rowdiff, axis=-1) * (R / (2.0 * jnp.pi))
+    return dT, dbeta.reshape(qshape).astype(beta_q.dtype)
+
+
+periodic_linear_rowmix.defvjp(_rowmix_vjp_fwd, _rowmix_vjp_bwd)
+
+
+def select_columns_linear(S, v0, dv, v_q):
+    """Per-row linear column interpolation: out[q] = lerp(S[q, iv0], S[q, iv0+1], wv).
+
+    S is [Q, N] (e.g. the output of ``periodic_linear_rowmix``), v the uniform
+    column grid with origin v0 and spacing dv, clamped at the ends (jnp.interp
+    edge behaviour).  Pure iota-compare elementwise work — fuses, no gather;
+    plain AD transposes elementwise.
+    """
+    N = S.shape[-1]
+    vpos = jnp.clip((v_q - v0) / dv, 0.0, N - 1.0)
+    iv0 = jnp.minimum(jnp.floor(vpos).astype(jnp.int32), N - 2)
+    wv = (vpos - iv0).astype(S.dtype)
+    cols = jnp.arange(N, dtype=jnp.int32)
+    oh0 = (iv0[..., None] == cols).astype(S.dtype)  # [Q, N]
+    f0 = jnp.sum(oh0 * S, axis=-1)
+    f1 = jnp.sum(oh0[..., :-1] * S[..., 1:], axis=-1)
+    return f0 * (1.0 - wv) + f1 * wv
