@@ -178,3 +178,32 @@ def test_periodic_rowmix_plus_column_select_matches_bilinear():
         ga = jax.grad(lambda t, b, v: loss("ref", t, b, v), argnums=arg)(smooth, beta_q, v_q)
         gb = jax.grad(lambda t, b, v: loss("new", t, b, v), argnums=arg)(smooth, beta_q, v_q)
         assert_allclose(np.asarray(gb), np.asarray(ga), rtol=0, atol=5e-3)
+
+
+def test_bf16_split_reconstructs_f32():
+    """_bf16_split must sum back to x to ~2^-24 (f32-exact for 3 terms).
+
+    Regression guard for the XLA excess-precision elision: a split written as
+    ``x - x.astype(bf16).astype(f32)`` is constant-folded to zero on TPU,
+    silently collapsing the split to one bf16 term; lax.reduce_precision is
+    the non-elidable formulation (see CLAUDE.md).
+    """
+    from tsadar_tpu.core.physics.interp import _bf16_split
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(4096) * 100, jnp.float32)
+
+    @jax.jit
+    def recon(x_):
+        parts = _bf16_split(x_, 3)
+        return sum(p.astype(jnp.float32) for p in parts)
+
+    err = np.abs(np.asarray(recon(x)) - np.asarray(x))
+    assert err.max() <= 2.0 ** (-22) * 100  # a couple ulps of slack
+
+    @jax.jit
+    def second_term(x_):
+        return _bf16_split(x_, 2)[1].astype(jnp.float32)
+
+    # the residual term must NOT be identically zero (elision symptom)
+    assert float(jnp.max(jnp.abs(second_term(x)))) > 0.0

@@ -43,6 +43,7 @@ from .interp import (
     interp2d_cubic,
     interp1d_linear_uniform,
     interp1d_linear_blocked,
+    interp1d_cubic_blocked,
     periodic_linear_rowmix,
     select_columns_linear,
 )
@@ -223,7 +224,14 @@ class FormFactor:
         # = -inf, which a single matmul then spreads across the whole lineout.
         tiny = jnp.finfo(jnp.result_type(fe)).tiny
         log_fe = jnp.log(jnp.maximum(fe, tiny))
-        fe_vphi = jnp.exp(interp1d_cubic_matmul(xie, vx, log_fe, extrap=(-50.0, -50.0)))
+        if jax.default_backend() == "tpu":
+            # blocked cubic: same Hermite stencil without materializing the
+            # [Q, nvx] weight matrix (8.4 GB at whole-shot shapes)
+            lf = interp1d_cubic_blocked(xie, vx, log_fe)
+            lf = jnp.where((xie < vx[0]) | (xie > vx[-1]), -50.0, lf)
+            fe_vphi = jnp.exp(lf)
+        else:
+            fe_vphi = jnp.exp(interp1d_cubic_matmul(xie, vx, log_fe, extrap=(-50.0, -50.0)))
 
         df = jnp.diff(fe_vphi, 1, axis=1) / jnp.diff(xie, 1, axis=1)
         df = jnp.concatenate([df, jnp.zeros_like(df[:, :1, :])], axis=1)

@@ -104,7 +104,26 @@ def _lin_uniform_bwd(res, g):
 interp1d_linear_uniform.defvjp(_lin_uniform_fwd, _lin_uniform_bwd)
 
 
-_BLOCK = 8  # fwd+bwd sweet spot measured on v5e (see CLAUDE.md perf notes)
+
+def _bf16_split(x, terms):
+    """Split f32 x into ``terms`` bf16 arrays summing to x (to ~2^-(8*terms)).
+
+    MUST use ``lax.reduce_precision`` for the truncation: a plain
+    ``x - x.astype(bf16).astype(f32)`` is constant-folded to ZERO by XLA's
+    excess-precision simplifier on TPU (the f32->bf16->f32 roundtrip is elided),
+    which silently collapses the split to one bf16 term.
+    """
+    parts = []
+    r = x
+    for _ in range(terms - 1):
+        pt = _jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+        parts.append(pt.astype(jnp.bfloat16))
+        r = r - pt
+    parts.append(r.astype(jnp.bfloat16))
+    return parts
+
+
+_BLOCK = 8  # in-context whole-shot step sweet spot on v5e (isolated sweeps mildly favor 16)
 
 
 @_jax.custom_vjp
@@ -159,13 +178,9 @@ def _blocked_indices(xq, x, block):
 def _blocked_fwd_impl(xq, x, f, block):
     n = x.shape[0]
     seg, nblk = _blocked_segments(f, n, block)
-    # three-term bf16 split: values survive to ~2^-27 relative (one-hot rows
+    # three-term bf16 split: values survive to ~2^-24 relative (one-hot rows
     # are exact in bf16; accumulation is f32)
-    s1 = seg.astype(jnp.bfloat16)
-    r1 = seg - s1.astype(seg.dtype)
-    s2 = r1.astype(jnp.bfloat16)
-    s3 = (r1 - s2.astype(seg.dtype)).astype(jnp.bfloat16)
-    segcat = jnp.concatenate([s1, s2, s3], axis=-1)  # [..., K, 3*(block+1)]
+    segcat = jnp.concatenate(_bf16_split(seg, 3), axis=-1)  # [..., K, 3*(block+1)]
 
     blk, lo, w, inside = _blocked_indices(xq, x, block)
     w = w.astype(f.dtype)
@@ -197,18 +212,19 @@ def _blocked_vjp_bwd(res, g):
 
     dxq = jnp.where(inside, gq * (f1 - f0) / dx, 0.0).reshape(jnp.shape(xq)).astype(xq.dtype)
 
-    # table cotangent: per-query 17-wide segment cotangent, folded back through
-    # the transposed one-hot contraction — all f32, all matmuls.
+    # table cotangent: per-query segment cotangent, folded back through the
+    # transposed block one-hot.  The one-hot is exact in bf16; the fractional
+    # cotangent is hi/lo-split so the bf16 matmul recovers it to ~2^-16 —
+    # cheaper than an f32 HIGHEST contraction and ample for gradients.
     jj = jnp.arange(block + 1, dtype=jnp.int32)[None, :]
     cot = gq[:, None] * (
         (lo[:, None] == jj) * (1.0 - w[:, None]) + ((lo + 1)[:, None] == jj) * w[:, None]
     ).astype(f.dtype)  # [Q, block+1]
+    ch, cl = _bf16_split(cot, 2)
     nblk = -(-(n - 1) // block)
-    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(f.dtype)
-    # HIGHEST: the TPU default rounds f32 matmul operands to bf16
-    dseg = jnp.matmul(
-        onehot.T, cot, preferred_element_type=f.dtype, precision=_jax.lax.Precision.HIGHEST
-    )  # [K, block+1]
+    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
+    dseg = D2[..., : block + 1] + D2[..., block + 1 :]  # [K, block+1]
     # fold overlapping segments: seg[k, j] -> fpad[block*k + j]
     npad = nblk * block + 1
     dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((1,), f.dtype)], axis=-1)
@@ -394,10 +410,8 @@ def periodic_linear_rowmix(T, beta_q):
     rows = jnp.arange(R, dtype=jnp.int32)[None, :]
     wb = wb.astype(T.dtype)
     W = (1.0 - wb)[:, None] * (ib0[:, None] == rows) + wb[:, None] * (ib1[:, None] == rows)
-    Wh = W.astype(jnp.bfloat16)
-    Wl = (W - Wh.astype(W.dtype)).astype(jnp.bfloat16)
-    Th = T.astype(jnp.bfloat16)
-    Tl = (T - Th.astype(T.dtype)).astype(jnp.bfloat16)
+    Wh, Wl = _bf16_split(W, 2)
+    Th, Tl = _bf16_split(T, 2)
     Wcat = jnp.concatenate([Wh, Wl], axis=1)  # [Q, 2R]
     out = jnp.matmul(Wcat, jnp.concatenate([Th, Th], axis=0), preferred_element_type=T.dtype)
     out = out + jnp.matmul(
@@ -448,3 +462,140 @@ def select_columns_linear(S, v0, dv, v_q):
     f0 = jnp.sum(oh0 * S, axis=-1)
     f1 = jnp.sum(oh0[..., :-1] * S[..., 1:], axis=-1)
     return f0 * (1.0 - wv) + f1 * wv
+
+
+def _cubic_blocked_segments(f, n, block):
+    """[..., K, block+3] segment view with one-column left pad (taps i-1..i+2)."""
+    nblk = -(-(n - 1) // block)
+    npad = nblk * block + 3
+    zl = jnp.zeros(f.shape[:-1] + (1,), f.dtype)
+    zr = jnp.zeros(f.shape[:-1] + (npad - n - 1,), f.dtype)
+    fpad = jnp.concatenate([zl, f, zr], axis=-1)  # fpad[j] = f[j-1]
+    body = fpad[..., : nblk * block].reshape(f.shape[:-1] + (nblk, block))
+    extras = [fpad[..., block + c :: block][..., :nblk, None] for c in range(3)]
+    return jnp.concatenate([body] + [e.reshape(f.shape[:-1] + (nblk, 1)) for e in extras], axis=-1), nblk
+
+
+def _cubic_weights(t, first, last, d=False):
+    """Per-offset cubic Hermite x FD-slope weights (c_m1, c_0, c_p1, c_p2).
+
+    Identical math to ``interp1d_cubic_matmul`` (uniform grid, one-sided
+    second-order slope stencils in the first/last cells).  With ``d=True``
+    returns d/dt of each weight instead.
+    """
+    t2 = t * t
+    if not d:
+        t3 = t2 * t
+        h00 = 2.0 * t3 - 3.0 * t2 + 1.0
+        h10 = t3 - 2.0 * t2 + t
+        h01 = -2.0 * t3 + 3.0 * t2
+        h11 = t3 - t2
+    else:
+        h00 = 6.0 * t2 - 6.0 * t
+        h10 = 3.0 * t2 - 4.0 * t + 1.0
+        h01 = 6.0 * t - 6.0 * t2
+        h11 = 3.0 * t2 - 2.0 * t
+    c_m1 = jnp.where(first, 0.0, jnp.where(last, -0.5 * h10 + 0.5 * h11, -0.5 * h10))
+    c_0 = jnp.where(
+        first, h00 - 1.5 * h10 - 0.5 * h11, jnp.where(last, h00 - 2.0 * h11, h00 - 0.5 * h11)
+    )
+    c_p1 = jnp.where(
+        first, h01 + 2.0 * h10, jnp.where(last, h01 + 0.5 * h10 + 1.5 * h11, h01 + 0.5 * h10)
+    )
+    c_p2 = jnp.where(first, -0.5 * h10 + 0.5 * h11, jnp.where(last, 0.0, 0.5 * h11))
+    return c_m1, c_0, c_p1, c_p2
+
+
+_CUBIC_BLOCK = 8
+
+
+def _cubic_blocked_indices(xq, x, block):
+    n = x.shape[0]
+    pos = (xq.reshape(-1) - x[0]) / (x[1] - x[0])
+    i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    t = pos - i  # unclamped: edge cells extrapolate their polynomial
+    blk = i // block
+    lo = i - blk * block
+    return i, blk, lo, t
+
+
+def _cubic_blocked_taps(xq, x, f, block):
+    n = x.shape[0]
+    seg, nblk = _cubic_blocked_segments(f, n, block)
+    segcat = jnp.concatenate(_bf16_split(seg, 3), axis=-1)
+
+    i, blk, lo, t = _cubic_blocked_indices(xq, x, block)
+    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    S3 = jnp.matmul(onehot, segcat, preferred_element_type=f.dtype)
+    c = block + 3
+    S = S3[..., :c] + S3[..., c : 2 * c] + S3[..., 2 * c :]  # [Q, block+3]
+
+    oh = (lo[:, None] == jnp.arange(block, dtype=jnp.int32)[None, :]).astype(f.dtype)
+    taps = [jnp.sum(oh * S[..., k : k + block], axis=-1) for k in range(4)]
+    return taps, i, blk, lo, t
+
+
+@_jax.custom_vjp
+def interp1d_cubic_blocked(xq, x, f):
+    """C1 cubic Hermite interpolation on a UNIFORM grid with NO hardware gather.
+
+    Same math as ``interp1d_cubic_matmul`` (edge cells extrapolate their
+    polynomial; apply constant fills with jnp.where outside) but instead of
+    materializing the [Q, N] weight matrix it lands each query's 4-tap stencil
+    through a [Q, N/8]-block one-hot contraction — for the 320-point EDF grid
+    that is 8x less traffic, and the one-hot is exact in bf16 (values recover
+    f32 via a three-term split).  Custom VJP: both cotangents avoid gathers
+    and scatters; the table cotangent is a transposed one-hot bf16 matmul with
+    a hi/lo-split cotangent (~2^-17 relative).
+    """
+    taps, i, blk, lo, t = _cubic_blocked_taps(xq, x, f, _CUBIC_BLOCK)
+    n = x.shape[0]
+    cw = _cubic_weights(t.astype(f.dtype), i == 0, i == n - 2)
+    out = sum(c * tap for c, tap in zip(cw, taps))
+    return out.reshape(jnp.shape(xq))
+
+
+def _cubic_blocked_vjp_fwd(xq, x, f):
+    taps, i, blk, lo, t = _cubic_blocked_taps(xq, x, f, _CUBIC_BLOCK)
+    n = x.shape[0]
+    cw = _cubic_weights(t.astype(f.dtype), i == 0, i == n - 2)
+    out = sum(c * tap for c, tap in zip(cw, taps))
+    return out.reshape(jnp.shape(xq)), (xq, x, f, taps)
+
+
+def _cubic_blocked_vjp_bwd(res, g):
+    block = _CUBIC_BLOCK
+    xq, x, f, taps = res
+    n = x.shape[0]
+    h = x[1] - x[0]
+    i, blk, lo, t = _cubic_blocked_indices(xq, x, block)
+    first, last = i == 0, i == n - 2
+    gq = g.reshape(-1).astype(f.dtype)
+    t = t.astype(f.dtype)
+
+    # query cotangent: analytic d/dt of the per-offset weights
+    dw = _cubic_weights(t, first, last, d=True)
+    dxq = (gq * sum(c * tap for c, tap in zip(dw, taps)) / h).reshape(jnp.shape(xq)).astype(xq.dtype)
+
+    # table cotangent: per-query (block+3)-wide stencil cotangent, folded back
+    # through the transposed block one-hot (exact bf16) with hi/lo-split values
+    cw = _cubic_weights(t, first, last)
+    jj = jnp.arange(block + 3, dtype=jnp.int32)[None, :]
+    cot = gq[:, None] * sum(
+        c[:, None] * (jj == (lo + k)[:, None]) for k, c in enumerate(cw)
+    ).astype(f.dtype)  # [Q, block+3]
+    ch, cl = _bf16_split(cot, 2)
+    nblk = -(-(n - 1) // block)
+    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
+    c = block + 3
+    dseg = D2[..., :c] + D2[..., c:]  # [K, block+3]
+
+    npad = nblk * block + 3
+    dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((3,), f.dtype)], axis=-1)
+    for cix in range(3):
+        dfpad = dfpad.at[block + cix :: block].add(dseg[:, block + cix][: (npad - block - cix - 1) // block + 1])
+    return dxq, jnp.zeros_like(x), dfpad[1 : 1 + n]
+
+
+interp1d_cubic_blocked.defvjp(_cubic_blocked_vjp_fwd, _cubic_blocked_vjp_bwd)
