@@ -23,7 +23,7 @@ import time
 
 import numpy as np
 
-BATCH = 128
+BATCH = 512  # throughput saturates at B>=512 with the gather-free kernels
 NPTS = 1024
 WARMUP = 2
 ITERS = 10

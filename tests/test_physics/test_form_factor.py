@@ -180,3 +180,42 @@ def test_zero_edf_tail_stays_finite_in_f32():
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else a, params)
     spectrum, lams = jax.jit(ff)(params)
     assert bool(jnp.all(jnp.isfinite(spectrum)))
+
+
+def test_nudft_projection_matches_rotation():
+    """_project_all_nudft (TPU table-mode path) == direct Radon projections.
+
+    The exact central-slice NUDFT must agree with per-angle bicubic rotation
+    projections at least as well as the FFT+bilinear slice sampler does (it
+    has no k-space interpolation error; its backward has no scatter).
+    """
+    nvx = 96
+    dv = 2 * 6.0 / nvx
+    vx = jnp.linspace(-6.0 + dv / 2, 6.0 - dv / 2, nvx, dtype=jnp.float64)
+    DF = jnp.exp(-(vx[None, :] ** 2 / 2 + vx[:, None] ** 2 / 2.88))
+    DF = DF / jnp.sum(DF) / dv**2
+
+    ff = FormFactor(
+        [400, 700],
+        npts=128,
+        num_beta=32,
+        mode="table",
+        lam_shift=0.0,
+        scattering_angles={"sa": np.array([60.0])},
+        num_grad_points=1,
+        ud_ang=0.0,
+        va_ang=0.0,
+    )
+    betas = jnp.linspace(0, 2 * jnp.pi, 32, endpoint=False)
+    p_rot = jnp.stack([ff._project(vx, DF, b) for b in betas])
+    p_nudft = ff._project_all_nudft(vx, DF, betas)
+    p_bilin = ff._project_all_fourier(vx, DF, betas)
+    err_nudft = float(jnp.max(jnp.abs(p_nudft - p_rot)))
+    err_bilin = float(jnp.max(jnp.abs(p_bilin - p_rot)))
+    scale = float(jnp.max(p_rot))
+    assert err_nudft < 5e-4 * scale
+    assert err_nudft <= err_bilin + 1e-12
+
+    # differentiable, and the EDF cotangent is finite
+    g = jax.grad(lambda d: jnp.sum(ff._project_all_nudft(vx, d, betas) ** 2))(DF)
+    assert bool(jnp.all(jnp.isfinite(g)))

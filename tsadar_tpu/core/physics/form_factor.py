@@ -342,6 +342,50 @@ class FormFactor:
         p = jnp.fft.ifft(S * phase, axis=-1).real * dv  # [B, P]
         return p[:, :n]
 
+    def _project_all_nudft(self, vx, DF, betas):
+        """All 1D projections via an EXACT non-uniform DFT of the central slice.
+
+        Same Fourier-slice math as ``_project_all_fourier`` but the slice
+        spectrum S[b, k] = sum_{y,x} DF[y,x] e^{-2pi i r_k (sin(b)(y-c) +
+        cos(b)(x-c))/P} is evaluated directly — separable into one batched
+        [B*K, n] @ [n, n] matmul over x and an elementwise y-contraction —
+        instead of bilinearly sampling a zero-padded fft2.  No k-space
+        interpolation error, and crucially NO GATHER: the backward pass is
+        transposed matmuls, where the bilinear sample's backward is a scatter
+        into the [P, P] grid (~50 ms per ARTS iteration on TPU).
+        """
+        n = vx.shape[0]
+        P = 2 * n  # alias-free: projection support spans < P samples
+        dv = vx[1] - vx[0]
+        c = (n - 1) / 2.0
+
+        r = jnp.fft.fftfreq(P) * P  # [K] signed frequency indices, K = P
+        idx = jnp.arange(n, dtype=DF.dtype) - c  # cell-centered offsets
+        cosb = jnp.cos(betas)  # [B]
+        sinb = jnp.sin(betas)
+
+        # phases theta[b, k, j] = 2pi r_k dir_b (j - c) / P
+        argx = (2.0 * jnp.pi / P) * cosb[:, None, None] * r[None, :, None] * idx[None, None, :]
+        argy = (2.0 * jnp.pi / P) * sinb[:, None, None] * r[None, :, None] * idx[None, None, :]
+        B = betas.shape[0]
+        # inner[b, k, y] = sum_x DF[y, x] e^{-i argx[b,k,x]} : two real matmuls
+        ex_r = jnp.cos(argx).reshape(B * P, n)
+        ex_i = jnp.sin(argx).reshape(B * P, n)
+        inner_r = (ex_r @ DF.T).reshape(B, P, n)
+        inner_i = (-ex_i @ DF.T).reshape(B, P, n)
+        # S[b, k] = sum_y e^{-i argy[b,k,y]} inner[b, k, y]
+        ey_r = jnp.cos(argy)
+        ey_i = jnp.sin(argy)
+        S_r = jnp.sum(ey_r * inner_r + ey_i * inner_i, axis=-1)
+        S_i = jnp.sum(ey_r * inner_i - ey_i * inner_r, axis=-1)
+
+        # output-grid cell-center phase + inverse transform (parity with
+        # _project_all_fourier lines above)
+        ph = -2.0 * jnp.pi * r * c / P
+        S = (S_r + 1j * S_i) * (jnp.cos(ph) + 1j * jnp.sin(ph))[None, :]
+        p = jnp.fft.ifft(S, axis=-1).real * dv  # [B, P]
+        return p[:, :n]
+
     def calc_chi_vals(self, vx, DF, inputs):
         """Per-point susceptibility (exact mode; reference form_factor.py:349-388)."""
         beta, xie_mag_at, klde_mag_at = inputs
@@ -370,7 +414,12 @@ class FormFactor:
         dvx = vx[1] - vx[0]
 
         if self.projection == "fourier":
-            f1d = self._project_all_fourier(vx, DF, betas)
+            if jax.default_backend() == "tpu":
+                # exact NUDFT slice evaluation: no k-space gather (its backward
+                # is a TPU scatter costing ~50 ms/iteration), no interp error
+                f1d = self._project_all_nudft(vx, DF, betas)
+            else:
+                f1d = self._project_all_fourier(vx, DF, betas)
             df1d = jnp.gradient(f1d, dvx, axis=-1)
         else:  # per-angle bicubic rotation + sum (reference-style projection)
             def one(beta):
