@@ -59,3 +59,50 @@ def test_batch_sharding_lineout_axis():
     assert len(placed["a"].sharding.device_set) == 8
     # non-batch leaves replicated
     assert placed["b"].sharding.is_fully_replicated
+
+
+def test_sharded_training_step_matches_unsharded():
+    """One full fit step (loss + grad + adam) sharded over 8 devices == unsharded.
+
+    The strongest multi-chip gate: data-parallel sharding of the lineout batch
+    (batch arrays and per-lineout parameter leaves P("batch"), tables
+    replicated) must be a pure performance transformation — identical loss and
+    identical updated parameters up to collective-reduction roundoff.
+    """
+    import optax
+    from __graft_entry__ import _small_config, _make_batch
+    from tsadar_tpu.core.params import ThomsonParams, get_filter_spec, partition
+    from tsadar_tpu.inverse.loss import LossFunction
+    from tsadar_tpu.parallel import shard_batch, shard_params_batch_axis
+    from tsadar_tpu.utils.data_handling.calibration import get_scattering_angles
+
+    assert jax.device_count() >= 8
+    batch_size = 8
+    cfg = _small_config(batch_size)
+    sas = get_scattering_angles(cfg)
+    batch = _make_batch(batch_size)
+
+    loss_fn = LossFunction(cfg, sas, batch)
+    ts_params = ThomsonParams.create(cfg["parameters"], num_params=batch_size, batch=True, activate=True)
+    spec = get_filter_spec(cfg["parameters"], ts_params)
+    diff0, static = partition(ts_params, spec)
+
+    opt = optax.adam(1e-2)
+
+    def train_step(dp, state, st, b):
+        (value, _), grad = jax.value_and_grad(loss_fn.__loss__, has_aux=True)(dp, st, b)
+        updates, state = opt.update(grad, state)
+        return optax.apply_updates(dp, updates), state, value
+
+    # unsharded (single-device) reference
+    dp_ref, _, v_ref = jax.jit(train_step)(diff0, opt.init(diff0), static, batch)
+
+    mesh = make_mesh(8)
+    batch_sh = shard_batch(batch, mesh)
+    diff_sh = shard_params_batch_axis(diff0, mesh, batch_size)
+    static_sh = shard_params_batch_axis(static, mesh, batch_size)
+    dp_sh, _, v_sh = jax.jit(train_step)(diff_sh, opt.init(diff_sh), static_sh, batch_sh)
+
+    assert_allclose(float(v_sh), float(v_ref), rtol=1e-12)
+    for a, b_ in zip(jax.tree.leaves(dp_sh), jax.tree.leaves(dp_ref)):
+        assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-10, atol=1e-12)
