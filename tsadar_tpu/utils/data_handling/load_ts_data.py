@@ -1,9 +1,11 @@
 """OMEGA shot-data loader (HDF4 streak/CCD frames).
 
-Behavioral port of ``/root/reference/tsadar/utils/data_handling/load_ts_data.py``
-using the pure-Python HDF4 reader (pyhdf is not a dependency): signal minus
-background frame, orientation fixes per spectrum type, fiducial-based t0
-detection, and streak-camera dewarp for temporal EPW data.
+Original implementation of the loading behavior documented in
+``/root/reference/tsadar/utils/data_handling/load_ts_data.py:11-136`` (studied for
+behavior only): each shot file holds two stacked frames (signal, background); the
+signal is the frame difference; each diagnostic gets an orientation fix; streaked
+data optionally gets its t0 from the timing-fiducial comb; temporal EPW data is
+dewarped. Uses the pure-Python HDF4 reader (pyhdf is not a dependency).
 """
 
 import os
@@ -17,50 +19,84 @@ from ..process.warpcorr import perform_warp_correction
 
 _EXTERNAL = os.path.join(os.path.dirname(__file__), "..", "..", "external")
 
+# Fiducial comb geometry (streak cameras): the comb lives in a fixed row band of
+# the image, and t0 sits a fixed number of pixels left of the first comb tooth.
+_FIDUCIAL = {
+    "iaw": {"rows": slice(850, 950), "t0_offset_px": 164},
+    "epw": {"rows": slice(0, 100), "t0_offset_px": 95},
+}
+_PEAK_PROMINENCE = 1000
+_PEAK_WIDTH = 10
+
+# Diagnostic type is encoded in the filename: streaked instruments have no
+# "ccd" tag; ATS files are the angular spectrometer.
+_AXIS_LABELS = {
+    "temporal": "Time (ps)",
+    "imaging": r"Radius (\mum)",
+    "angular": "Scattering angle (degrees)",
+}
+
+
+def _classify(filename):
+    """Map a shot filename to (channel, spectype) or None if unrelated."""
+    low = filename.casefold()
+    if "ats" in low:
+        return "epw", "angular"
+    for channel in ("epw", "iaw"):
+        if channel in low:
+            return channel, ("imaging" if "ccd" in low else "temporal")
+    return None
+
+
+def _signal_frame(path):
+    """Signal = frame 0 minus frame 1 (background exposure), as float."""
+    frames = read_sds(path).astype(float)
+    return frames[0] - frames[1]
+
+
+def _fiducial_t0(image, channel):
+    """Locate t0 from the timing-fiducial comb; returns a pixel offset.
+
+    The comb is summed over its row band; the first peak's mid-point (between
+    its interpolated half-height edges) minus the per-channel offset is t0.
+    """
+    geo = _FIDUCIAL[channel]
+    comb = image[geo["rows"], :].sum(axis=0)
+    _, props = find_peaks(comb, prominence=_PEAK_PROMINENCE, width=_PEAK_WIDTH)
+    first_tooth = 0.5 * (props["left_ips"][0] + props["right_ips"][0])
+    return round(first_tooth - geo["t0_offset_px"])
+
 
 def loadData(sNum, sDay, loadspecs, custom_path=None):
     """Load electron/ion frames for a shot number; detect spectype from filenames.
 
-    Returns (eDat, iDat, xlab, t0, specType) as the reference does.
+    Returns ``(eDat, iDat, xlab, t0, specType)``. Channels that fail to load are
+    returned as ``[]`` with their ``loadspecs`` flag cleared; if neither channel
+    loads, raises LookupError.
     """
     folder = custom_path if custom_path else join(_EXTERNAL, "data")
-    file_list = os.listdir(folder)
-    files = [name for name in file_list if str(sNum) in name]
-    t0 = [0, 0]
+    paths = {}
+    spec_type = None
+    for name in os.listdir(folder):
+        if str(sNum) not in name:
+            continue
+        tagged = _classify(name)
+        if tagged is not None:
+            channel, spec_type = tagged
+            paths[channel] = join(folder, name)
 
-    hdfnameE = hdfnameI = None
-    xlab = specType = None
-    for fl in files:
-        low = fl.casefold()
-        if "epw" in low:
-            hdfnameE = join(folder, fl)
-            if "ccd" in low:
-                xlab, specType = r"Radius (\mum)", "imaging"
-            else:
-                xlab, specType = "Time (ps)", "temporal"
-        if "iaw" in low:
-            hdfnameI = join(folder, fl)
-            if "ccd" in low:
-                xlab, specType = r"Radius (\mum)", "imaging"
-            else:
-                xlab, specType = "Time (ps)", "temporal"
-        if "ats" in low:
-            hdfnameE = join(folder, fl)
-            specType, xlab = "angular", "Scattering angle (degrees)"
+    xlab = _AXIS_LABELS.get(spec_type)
+    t0 = [0, 0]
+    want_t0 = loadspecs.get("absolute_timing", False)
 
     iDat = []
     if loadspecs["load_ion_spec"]:
         try:
-            frames = read_sds(hdfnameI).astype(float)
-            iDat = frames[0, :, :] - frames[1, :, :]
-            iDat = np.flipud(iDat)
-            if specType == "imaging":
+            iDat = np.flipud(_signal_frame(paths["iaw"]))
+            if spec_type == "imaging":
                 iDat = np.rot90(np.squeeze(iDat))
-            elif loadspecs.get("absolute_timing", False):
-                fidu = np.sum(iDat[850:950, :], 0)
-                res = find_peaks(fidu, prominence=1000, width=10)
-                peak_center = res[1]["left_ips"][0] + (res[1]["right_ips"][0] - res[1]["left_ips"][0]) / 2.0
-                t0[0] = round(peak_center - 164)
+            elif want_t0:
+                t0[0] = _fiducial_t0(iDat, "iaw")
         except Exception as e:
             print(f"Unable to find IAW ({e})")
             iDat = []
@@ -69,22 +105,18 @@ def loadData(sNum, sDay, loadspecs, custom_path=None):
     eDat = []
     if loadspecs["load_ele_spec"]:
         try:
-            frames = read_sds(hdfnameE).astype(float)
-            eDat = frames[0, :, :] - frames[1, :, :]
-            if specType == "angular":
+            eDat = _signal_frame(paths["epw"])
+            if spec_type == "angular":
                 eDat = np.fliplr(eDat)
-            elif specType == "temporal":
+            elif spec_type == "temporal":
                 eDat = perform_warp_correction(eDat)
-            elif specType == "imaging":
+            elif spec_type == "imaging":
                 eDat = np.rot90(np.squeeze(eDat), 3)
-            try:
-                if specType == "temporal" and loadspecs.get("absolute_timing", False):
-                    fidu = np.sum(eDat[0:100, :], 0)
-                    res = find_peaks(fidu, prominence=1000, width=10)
-                    peak_center = res[1]["left_ips"][0] + (res[1]["right_ips"][0] - res[1]["left_ips"][0]) / 2.0
-                    t0[1] = round(peak_center - 95)
-            except Exception:
-                print("Fiducial timing encountered an error, default timing is being used")
+            if spec_type == "temporal" and want_t0:
+                try:
+                    t0[1] = _fiducial_t0(eDat, "epw")
+                except Exception:
+                    print("Fiducial timing encountered an error, default timing is being used")
         except Exception as e:
             print(f"Unable to find EPW ({e})")
             eDat = []
@@ -93,4 +125,4 @@ def loadData(sNum, sDay, loadspecs, custom_path=None):
     if not loadspecs["load_ele_spec"] and not loadspecs["load_ion_spec"]:
         raise LookupError(f"No data found for shotnumber {sNum} in the data folder")
 
-    return eDat, iDat, xlab, t0, specType
+    return eDat, iDat, xlab, t0, spec_type

@@ -1,68 +1,78 @@
 """Shot- and lineout-level background models.
 
-Behavioral port of ``/root/reference/tsadar/utils/process/evaluate_background.py``:
-background-shot smoothing (5x3 / 5x5 box conv), polynomial-scaled backgrounds for
-angular "Fit" mode, rational/exponential/power edge-fit backgrounds, and
-pixel-lineout backgrounds with double-exponential rescaling.
+Original implementation of the background behavior documented in
+``/root/reference/tsadar/utils/process/evaluate_background.py:13-253`` (studied
+for behavior only). Two layers of background exist:
+
+* a *shot* background — a whole second CCD/streak image from a dedicated
+  background shot, smoothed (and for ARTS optionally rescaled by a fitted
+  quadratic-in-pixel gain model), and
+* a *lineout* background — a per-lineout noise profile built either from an
+  edge-region model fit ("Fit") or from a background pixel column ("Pixel"/
+  "Shot"), with a double-exponential resmoothing + per-lineout L1 rescale for
+  streaked data.
+
+All pixel windows below are instrument facts from the reference (OMEGA streak
+fiducial/notch locations, CCD gain-fit seeds) and are kept as named constants.
 """
 
 from typing import Tuple
 
 import numpy as np
 import scipy.optimize as spopt
-from scipy.signal import convolve2d as conv2
+from scipy.ndimage import convolve1d, uniform_filter
 
 from ..data_handling.load_ts_data import loadData
 from .correct_throughput import correctThroughput
 
+# Streak-camera column windows (pixels). The fit window skips the timing
+# fiducials (top/bottom combs) and the notch-filter shadow; the rescale window
+# uses only the far spectral wings where signal is background-dominated.
+STREAK_BG_FIT_COLS = np.r_[250:480, 540:900]
+STREAK_BG_RESCALE_COLS = np.r_[250:300, 700:900]
+# IAW backgrounds are nearly flat: average the smoothed background lineout over
+# these signal-free columns and use the scalar everywhere.
+IAW_BG_MEAN_COLS = np.r_[200:400, 700:850]
 
-def get_shot_bg(config, shotNum, axisyE, elecData):
-    """Background from a dedicated background shot (reference :13-83)."""
-    if config["data"]["background"]["type"] == "Shot":
-        BGele, BGion, _, _, _ = loadData(
-            config["data"]["background"]["slice"], config["data"]["shotDay"], config["other"]["extraoptions"]
-        )
-        if config["other"]["extraoptions"]["load_ion_spec"]:
-            BGion = conv2(BGion, np.ones([5, 3]) / 15, mode="same")
-        else:
-            BGion = 0
-        if config["other"]["extraoptions"]["load_ele_spec"]:
-            BGele = correctThroughput(
-                BGele, config["other"]["extraoptions"]["spectype"], axisyE, config["data"]["shotnum"]
-            )
-            if config["other"]["extraoptions"]["spectype"] == "angular":
-                BGele = conv2(BGele, np.ones([5, 5]) / 25, mode="same")
-            else:
-                BGele = conv2(BGele, np.ones([5, 3]) / 15, mode="same")
-        else:
-            BGele = 0
+# ARTS "Fit" mode: gain mismatch between shot and background-shot images is
+# modeled as quad(px) * background, fit on one high-signal row.
+ARTS_GAIN_FIT_ROW = 1000
+ARTS_GAIN_FIT_SEED = (0.1, 0.1, 1.15, 300.0)  # (curvature, slope, scale, pivot px)
 
-    elif config["other"]["extraoptions"]["spectype"] == "angular" and config["data"]["background"]["type"] == "Fit":
-        BGele, _, _, _, _ = loadData(
-            config["data"]["background"]["slice"], config["data"]["shotDay"], config["other"]["extraoptions"]
-        )
-        BGele = correctThroughput(BGele, config["other"]["extraoptions"]["spectype"], axisyE, shotNum)
-        BGele = conv2(BGele, np.ones([5, 5]) / 25, mode="same")
-        xx = np.arange(1024)
+# Double-exponential decay seed for the streak background resmoothing.
+EXP2_DECAY_SEED = (200.0, 0.001, 200.0, 0.001)
 
-        def quadbg(x):
-            return np.sum(
-                (elecData[1000, :] - ((x[0] * (xx - x[3]) ** 2 + x[1] * (xx - x[3]) + x[2]) * BGele[1000, :])) ** 2
-            )
-
-        corrfactor = spopt.minimize(quadbg, [0.1, 0.1, 1.15, 300])
-        BGele = (
-            corrfactor.x[0] * (xx - corrfactor.x[3]) ** 2 + corrfactor.x[1] * (xx - corrfactor.x[3]) + corrfactor.x[2]
-        ) * BGele
-        print("Angular background corrected with polynomial model")
-        BGion = 0
-    else:
-        BGele = 0
-        BGion = 0
-
-    return BGele, BGion
+_NPX = 1024
 
 
+def _box1d(profile, span):
+    """Zero-padded centered moving average (odd span), along the last axis."""
+    kernel = np.full(span, 1.0 / span)
+    return convolve1d(np.asarray(profile, float), kernel, axis=-1, mode="constant")
+
+
+def _box2d(image, rows, cols):
+    """Zero-padded 2D box smooth of an image."""
+    return uniform_filter(np.asarray(image, float), size=(rows, cols), mode="constant")
+
+
+def _column_band_mean(image, center, half_width):
+    """Mean over the column band [center-half, center+half) — a raw lineout."""
+    center = int(center)
+    return image[:, center - half_width : center + half_width].mean(axis=1)
+
+
+def _window_means(image, centers, half_width):
+    """Per-center column-band means, vectorized: returns [n_centers, n_rows].
+
+    Columns outside the image are excluded (edge bands are partial)."""
+    cols = np.asarray(centers, int)[:, None] + np.arange(-half_width, half_width)
+    inside = (cols >= 0) & (cols < image.shape[1])
+    sums = (image[:, np.clip(cols, 0, image.shape[1] - 1)] * inside).sum(axis=-1).T
+    return sums / np.maximum(inside.sum(axis=-1), 1)[:, None]
+
+
+# Edge-fit background models (selected by config data.background.bg_alg).
 def _exp2(x, a, b, c, d):
     return a * np.exp(b * x) + c * np.exp(d * x)
 
@@ -83,91 +93,145 @@ def _rat11(x, a, b, c):
     return (a * x + b) / (x + c)
 
 
-_BG_MODELS = {"exp2": _exp2, "power2": _power2, "rat21": _rat21, "rat11": _rat11}
+BG_MODELS = {"exp2": _exp2, "power2": _power2, "rat21": _rat21, "rat11": _rat11}
+
+
+def _l1_scale(target, template):
+    """argmin_a sum |target - a*template|, exactly (weighted median of ratios).
+
+    The objective is piecewise-linear convex in a; its minimizer is the
+    |template|-weighted median of target/template. (The reference reaches a
+    nearby value with a Brent scalar search.)
+    """
+    t = np.asarray(template, float)
+    y = np.asarray(target, float)
+    keep = t != 0.0
+    ratios = y[keep] / t[keep]
+    weights = np.abs(t[keep])
+    order = np.argsort(ratios)
+    cdf = np.cumsum(weights[order])
+    return ratios[order][np.searchsorted(cdf, 0.5 * cdf[-1])]
+
+
+def get_shot_bg(config, shotNum, axisyE, elecData):
+    """Whole-image backgrounds from a dedicated background shot.
+
+    "Shot": load + throughput-correct + box-smooth both channels.
+    "Fit" (ARTS only): additionally rescale by a fitted quadratic gain model.
+    Anything else: zeros (no shot background).
+    """
+    bg_cfg = config["data"]["background"]
+    opts = config["other"]["extraoptions"]
+    spectype = opts["spectype"]
+    is_arts = spectype == "angular"
+
+    def _load_bg_image():
+        eimg, iimg, _, _, _ = loadData(bg_cfg["slice"], config["data"]["shotDay"], opts)
+        return eimg, iimg
+
+    if bg_cfg["type"] == "Shot":
+        raw_e, raw_i = _load_bg_image()
+        bg_ion = _box2d(raw_i, 5, 3) if opts["load_ion_spec"] else 0
+        if opts["load_ele_spec"]:
+            corrected = correctThroughput(raw_e, spectype, axisyE, config["data"]["shotnum"])
+            bg_ele = _box2d(corrected, 5, 5) if is_arts else _box2d(corrected, 5, 3)
+        else:
+            bg_ele = 0
+        return bg_ele, bg_ion
+
+    if is_arts and bg_cfg["type"] == "Fit":
+        raw_e, _ = _load_bg_image()
+        smoothed = _box2d(correctThroughput(raw_e, spectype, axisyE, shotNum), 5, 5)
+        px = np.arange(_NPX)
+
+        def quad_gain(coef):
+            curv, slope, scale, pivot = coef
+            return curv * (px - pivot) ** 2 + slope * (px - pivot) + scale
+
+        row = ARTS_GAIN_FIT_ROW
+        residual = lambda coef: np.sum((elecData[row, :] - quad_gain(coef) * smoothed[row, :]) ** 2)
+        best = spopt.minimize(residual, list(ARTS_GAIN_FIT_SEED))
+        print("Angular background corrected with polynomial model")
+        return quad_gain(best.x) * smoothed, 0
+
+    return 0, 0
+
+
+def _edge_fit_backgrounds(config, smoothed_lineouts):
+    """'Fit' mode (non-ARTS): fit bg_alg to each lineout's edge columns."""
+    bg_cfg = config["data"]["background"]
+    lo, hi, lo2, hi2 = bg_cfg["bg_alg_domain"]
+    fit_cols = np.r_[lo:hi, lo2:hi2]
+    model = BG_MODELS[bg_cfg["bg_alg"]]
+    px = np.arange(_NPX)
+    profiles = []
+    for lineout in smoothed_lineouts:
+        coef, _ = spopt.curve_fit(model, fit_cols, lineout[fit_cols], bg_cfg["bg_alg_params"])
+        profiles.append(model(px, *coef))
+    return profiles
+
+
+def _pixel_backgrounds_ele(config, elecData, shot_bg, smoothed_lineouts, background_px):
+    """'Pixel'/'Shot' mode: background lineout at background_px, smoothed; for
+    streaked data, replaced by a fitted double-exponential rescaled per lineout."""
+    dpx = config["data"]["dpixel"]
+    profile = _box1d(_column_band_mean(elecData - shot_bg, background_px, dpx), 2 * dpx + 1)
+
+    if config["other"]["extraoptions"]["spectype"] == "angular":
+        return profile
+
+    coef, _ = spopt.curve_fit(
+        _exp2_decay, STREAK_BG_FIT_COLS, profile[STREAK_BG_FIT_COLS], p0=list(EXP2_DECAY_SEED)
+    )
+    template = config["data"]["bgscaleE"] * _exp2_decay(np.arange(_NPX), *coef)
+    wing = STREAK_BG_RESCALE_COLS
+    scales = np.array([_l1_scale(lo[wing], template[wing]) for lo in smoothed_lineouts])
+    return scales[:, None] * template[None, :]
 
 
 def get_lineout_bg(
     config, elecData, ionData, BGele, BGion, LineoutTSE_smooth, BackgroundPixel, LineoutPixelE, LineoutPixelI
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-lineout noise profiles (reference :86-253)."""
-    span = 2 * config["data"]["dpixel"] + 1
-
-    if config["data"]["background"]["type"].casefold() not in ["fit", "shot", "pixel"]:
+    """Per-lineout noise profiles: (noiseE, noiseI), each [n_lineouts, 1024]
+    (or zeros when that channel is not loaded)."""
+    bg_type = config["data"]["background"]["type"].casefold()
+    if bg_type not in ("fit", "shot", "pixel"):
         raise NotImplementedError("Background type must be: 'Fit', 'Shot', or 'Pixel'")
 
-    if config["other"]["extraoptions"]["load_ele_spec"]:
-        if config["data"]["background"]["type"].casefold() == "fit":
-            if config["other"]["extraoptions"]["spectype"] != "angular":
-                dom = config["data"]["background"]["bg_alg_domain"]
-                bgfitx = np.hstack([np.arange(dom[0], dom[1]), np.arange(dom[2], dom[3])])
-                bgalg = _BG_MODELS[config["data"]["background"]["bg_alg"]]
-                LineoutBGE = []
-                for i, _ in enumerate(config["data"]["lineouts"]["val"]):
-                    pvec, _ = spopt.curve_fit(
-                        bgalg, bgfitx, LineoutTSE_smooth[i][bgfitx], config["data"]["background"]["bg_alg_params"]
-                    )
-                    LineoutBGE.append(bgalg(np.arange(1024), *pvec))
+    opts = config["other"]["extraoptions"]
+    dpx = config["data"]["dpixel"]
+    n_lineouts = len(config["data"]["lineouts"]["val"])
+    ccd_shape = tuple(config["other"]["CCDsize"])
+
+    if opts["load_ele_spec"]:
+        if bg_type == "fit" and opts["spectype"] != "angular":
+            lineout_bg = _edge_fit_backgrounds(config, LineoutTSE_smooth)
         else:
-            LineoutBGE = np.mean(
-                (elecData - BGele)[
-                    :, BackgroundPixel - config["data"]["dpixel"] : BackgroundPixel + config["data"]["dpixel"]
-                ],
-                1,
+            lineout_bg = _pixel_backgrounds_ele(
+                config, elecData, BGele, LineoutTSE_smooth, BackgroundPixel
             )
-            LineoutBGE = np.convolve(LineoutBGE, np.ones(span) / span, "same")
-
-            if config["other"]["extraoptions"]["spectype"] != "angular":
-                # streaked data: avoid fiducials and notch filter regions
-                bgfitx = np.hstack([np.arange(250, 480), np.arange(540, 900)])
-                bgfitx2 = np.hstack([np.arange(250, 300), np.arange(700, 900)])
-                expbg, _ = spopt.curve_fit(_exp2_decay, bgfitx, LineoutBGE[bgfitx], p0=[200, 0.001, 200, 0.001])
-                LineoutBGE = config["data"]["bgscaleE"] * _exp2_decay(np.arange(1024), *expbg)
-
-                LineoutBGE_rescaled = []
-                for i, _ in enumerate(config["data"]["lineouts"]["val"]):
-                    scale = spopt.minimize_scalar(
-                        lambda a: np.sum(abs(LineoutTSE_smooth[i][bgfitx2] - a * LineoutBGE[bgfitx2]))
-                    )
-                    LineoutBGE_rescaled.append(scale.x * LineoutBGE)
-                LineoutBGE = np.array(LineoutBGE_rescaled)
-
-        if np.shape(BGele) == tuple(config["other"]["CCDsize"]):
-            LineoutBGE2 = [
-                np.mean(BGele[:, a - config["data"]["dpixel"] : a + config["data"]["dpixel"]], axis=1)
-                for a in LineoutPixelE
-            ]
-            noiseE = LineoutBGE + np.array(LineoutBGE2)
+        if np.shape(BGele) == ccd_shape:
+            noiseE = np.asarray(lineout_bg) + _window_means(BGele, LineoutPixelE, dpx)
         else:
-            noiseE = np.asarray(LineoutBGE) * np.ones((len(LineoutPixelE), 1))
-
+            noiseE = np.asarray(lineout_bg) * np.ones((len(LineoutPixelE), 1))
         noiseE = noiseE + config["other"]["flatbg"]
     else:
-        noiseE = np.zeros(len(config["data"]["lineouts"]["val"]))
+        noiseE = np.zeros(n_lineouts)
 
-    if config["other"]["extraoptions"]["load_ion_spec"]:
-        if config["data"]["background"]["type"].casefold() == "fit":
-            BackgroundPixel = config["data"]["background"]["slice"]
-
-        noiseI = np.mean(
-            (ionData - BGion)[
-                :, BackgroundPixel - config["data"]["dpixel"] : BackgroundPixel + config["data"]["dpixel"]
-            ],
-            1,
-        )
-        noiseI = np.convolve(noiseI, np.ones(span) / span, "same")
-        bgfitx = np.hstack([np.arange(200, 400), np.arange(700, 850)])
-        noiseI = np.mean(noiseI[bgfitx])
-        noiseI = np.ones(1024) * config["data"]["bgscaleI"] * noiseI
-
-        if np.shape(BGion) == tuple(config["other"]["CCDsize"]):
-            LineoutBGI = [
-                np.mean(BGion[:, a - config["data"]["dpixel"] : a + config["data"]["dpixel"]], axis=1)
-                for a in LineoutPixelI
-            ]
-            noiseI = noiseI + LineoutBGI
+    if opts["load_ion_spec"]:
+        # IAW backgrounds are small and flat: one scalar from the smoothed
+        # background lineout's signal-free columns, broadcast everywhere.
+        # (In "fit" mode the electron path never used the slice column, so it
+        # is consumed here.)
+        ion_bg_px = config["data"]["background"]["slice"] if bg_type == "fit" else BackgroundPixel
+        profile = _box1d(_column_band_mean(ionData - BGion, ion_bg_px, dpx), 2 * dpx + 1)
+        flat = config["data"]["bgscaleI"] * profile[IAW_BG_MEAN_COLS].mean()
+        noiseI = np.full(_NPX, flat)
+        if np.shape(BGion) == ccd_shape:
+            noiseI = noiseI[None, :] + _window_means(BGion, LineoutPixelI, dpx)
         else:
             noiseI = noiseI * np.ones((len(LineoutPixelI), 1))
     else:
-        noiseI = np.zeros(len(config["data"]["lineouts"]["val"]))
+        noiseI = np.zeros(n_lineouts)
 
     return noiseE, noiseI

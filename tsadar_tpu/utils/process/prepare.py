@@ -1,8 +1,16 @@
 """Data preparation orchestration: load -> calibrate -> correct -> lineouts.
 
-Behavioral port of ``/root/reference/tsadar/utils/process/prepare.py``.
+Original implementation of the preparation flow documented in
+``/root/reference/tsadar/utils/process/prepare.py:15-204`` (studied for behavior
+only): load the shot, calibrate axes, throughput-correct, build the shot
+background, optionally auto-detect lineout/fit windows with the CV feature
+detector, then either extract lineouts (1D fits) or block-average the full ARTS
+image down to resolution units (angular_full fits). Mutates ``config`` with the
+derived quantities the fit stage reads back (IRF widths, wavelength ranges,
+npts, lineout pixels).
 """
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -14,149 +22,173 @@ from .evaluate_background import get_shot_bg
 from .feature_detector import first_guess
 from .lineouts import get_lineouts
 
+# CCD counts of 0 break log/variance-weighted losses downstream; offset all
+# corrected images by a fraction of a count.
+_ZERO_COUNT_OFFSET = 0.1
+
+
+def _custom_data_dir(data_cfg):
+    """Directory holding user-supplied shot files, if the deck names any."""
+    names = data_cfg.get("filenames") or {}
+    for channel in ("epw", "iaw"):
+        if names.get(channel) is not None:
+            return os.path.dirname(names[f"{channel}-local"])
+    return None
+
+
+def _block_means_1d(vec, width):
+    """Means of consecutive blocks (last block may be ragged)."""
+    starts = np.arange(0, len(vec), width)
+    counts = np.diff(np.append(starts, len(vec)))
+    return np.add.reduceat(np.asarray(vec, float), starts) / counts
+
+
+def _block_means_2d(image, row_width, col_width):
+    """Block-average an image to resolution units: [n_row_blocks, n_col_blocks]."""
+    image = np.asarray(image, float)
+    row_starts = np.arange(0, image.shape[0], row_width)
+    col_starts = np.arange(0, image.shape[1], col_width)
+    row_counts = np.diff(np.append(row_starts, image.shape[0]))
+    col_counts = np.diff(np.append(col_starts, image.shape[1]))
+    summed = np.add.reduceat(np.add.reduceat(image, row_starts, axis=0), col_starts, axis=1)
+    return summed / (row_counts[:, None] * col_counts[None, :])
+
+
+def _apply_feature_detector(config, elecData, ionData, all_axes):
+    """CV first-guess of lineout range and fit windows; writes them into config.
+
+    Mirrors the reference's three modes (IAW-only, EPW-only, both); returns the
+    detected (start, end) pixel pair, or None if detection is off.
+    """
+    fd = config.get("feature_detector", {"estimate_lineouts_iaw": False, "estimate_lineouts_epw": False})
+    want_iaw, want_epw = fd["estimate_lineouts_iaw"], fd["estimate_lineouts_epw"]
+    if not (want_iaw or want_epw):
+        return None
+
+    fit_rng = config["data"]["fit_rng"]
+    guess = first_guess(elecData, ionData, config)
+
+    if want_iaw and want_epw:
+        (end, start, iaw_cf_min, iaw_cf_max, iaw_max, iaw_min,
+         ion_t0_shift, blue_min, blue_max, red_min, red_max) = guess
+        config["data"]["ion_t0_shift"] = all_axes["iaw_x"][ion_t0_shift]
+        lineout_axis = all_axes["epw_x"]
+    elif want_iaw:
+        end, start, iaw_cf_min, iaw_cf_max, iaw_max, iaw_min = guess
+        blue_min = blue_max = red_min = red_max = None
+        lineout_axis = all_axes["iaw_x"]
+    else:
+        end, start, blue_min, blue_max, red_min, red_max = guess
+        iaw_min = iaw_max = iaw_cf_min = iaw_cf_max = None
+        lineout_axis = all_axes["epw_x"]
+
+    config["data"]["lineouts"]["start"] = lineout_axis[start]
+    config["data"]["lineouts"]["end"] = lineout_axis[end]
+    if iaw_min is not None:
+        fit_rng["iaw_min"] = all_axes["iaw_y"][iaw_min]
+        fit_rng["iaw_max"] = all_axes["iaw_y"][iaw_max]
+        fit_rng["iaw_cf_min"] = all_axes["iaw_y"][int(iaw_cf_min)]
+        fit_rng["iaw_cf_max"] = all_axes["iaw_y"][int(iaw_cf_max)]
+    if blue_min is not None:
+        fit_rng["blue_min"] = all_axes["epw_y"][blue_min]
+        fit_rng["blue_max"] = all_axes["epw_y"][blue_max]
+        fit_rng["red_min"] = all_axes["epw_y"][red_min]
+        fit_rng["red_max"] = all_axes["epw_y"][red_max]
+    return int(start), int(end)
+
+
+def _resolve_lineout_values(config, detected):
+    """Materialize lineouts.val from detected or configured start/end/skip."""
+    lineouts = config["data"]["lineouts"]
+    if detected is not None:
+        if lineouts["type"] == "pixel":
+            start, end = detected
+        else:
+            start, end = int(lineouts["start"]), int(lineouts["end"])
+        lineouts["val"] = list(range(start, end, int(lineouts["skip"])))
+
+
+def _trim_to_batch_multiple(config):
+    """Drop trailing lineouts so the count divides the optimizer batch size."""
+    values = config["data"]["lineouts"]["val"]
+    remainder = len(values) % config["optimizer"]["batch_size"]
+    if remainder:
+        print(f"total slices: {len(values)}")
+        print(
+            f"batch size = {config['optimizer']['batch_size']} is not a round divisor of the number of lineouts"
+        )
+        print(f"final {remainder} lineouts have been removed")
+        config["data"]["lineouts"]["val"] = values[:-remainder]
+
+
+def _reduce_arts_image(config, elecData, BGele, axisxE, axisyE, sa, all_axes):
+    """ARTS full-image fit: block-average data/background to resolution units."""
+    config["other"]["extraoptions"]["spectype"] = "angular_full"
+    sa["angAxis"] = axisxE
+
+    n_lam = config["other"]["lam_res_unit"]
+    n_ang = config["other"]["ang_res_unit"]
+    bg = BGele if np.ndim(BGele) == 2 else np.zeros_like(elecData)
+
+    # [n_lam_units, n_ang_units] -> transpose to [angle, wavelength] rows.
+    data_units = _block_means_2d(elecData, n_lam, n_ang).T
+    bg_units = _block_means_2d(bg, n_lam, n_ang).T
+
+    all_axes["epw_y"] = _block_means_1d(axisyE, n_lam).reshape((-1, 1))
+    all_axes["epw_x"] = _block_means_1d(axisxE, n_ang).reshape((-1, 1))
+
+    all_data = {
+        "e_data": data_units,
+        "e_amps": data_units.max(axis=1, keepdims=True),
+        "i_data": np.zeros(len(data_units)),
+        "i_amps": np.zeros(len(data_units)),
+        "noiseI": np.zeros(np.shape(bg_units)),
+        "noiseE": config["data"]["bgscaleE"] * bg_units + _ZERO_COUNT_OFFSET,
+    }
+    config["other"]["CCDsize"] = np.shape(data_units)
+    return all_data, all_axes["epw_y"].ravel()
+
 
 def prepare_data(config: Dict, shotNum: int):
     """Returns (all_data, sa, all_axes); mutates config with derived quantities."""
-    custom_path = None
-    if "filenames" in config["data"]:
-        if config["data"]["filenames"].get("epw") is not None:
-            import os
-
-            custom_path = os.path.dirname(config["data"]["filenames"]["epw-local"])
-        if config["data"]["filenames"].get("iaw") is not None:
-            import os
-
-            custom_path = os.path.dirname(config["data"]["filenames"]["iaw-local"])
-
-    elecData, ionData, xlab, t0, config["other"]["extraoptions"]["spectype"] = loadData(
-        config["data"]["shotnum"], config["data"]["shotDay"], config["other"]["extraoptions"], custom_path=custom_path
+    opts = config["other"]["extraoptions"]
+    elecData, ionData, xlab, t0, opts["spectype"] = loadData(
+        config["data"]["shotnum"], config["data"]["shotDay"], opts,
+        custom_path=_custom_data_dir(config["data"]),
     )
 
     sa = get_scattering_angles(config)
     axisxE, axisxI, axisyE, axisyI, magE, stddev = get_calibrations(
-        shotNum, config["other"]["extraoptions"]["spectype"], t0, config["other"]["CCDsize"]
+        shotNum, opts["spectype"], t0, config["other"]["CCDsize"]
     )
     all_axes = {"epw_x": axisxE, "epw_y": axisyE, "iaw_x": axisxI, "iaw_y": axisyI, "x_label": xlab}
 
-    if not config["other"]["extraoptions"]["load_ion_spec"]:
-        config["other"]["extraoptions"]["fit_IAW"] = 0
+    # A channel that did not load cannot be fit.
+    if not opts["load_ion_spec"]:
+        opts["fit_IAW"] = 0
         print("IAW data not loaded, omitting IAW fit")
-    if not config["other"]["extraoptions"]["load_ele_spec"]:
-        config["other"]["extraoptions"]["fit_EPWb"] = 0
-        config["other"]["extraoptions"]["fit_EPWr"] = 0
+    if not opts["load_ele_spec"]:
+        opts["fit_EPWb"] = 0
+        opts["fit_EPWr"] = 0
         print("EPW data not loaded, omitting EPW fit")
 
-    if config["other"]["extraoptions"]["load_ele_spec"]:
-        elecData = correctThroughput(elecData, config["other"]["extraoptions"]["spectype"], axisyE, shotNum)
-        elecData = elecData + 0.1  # avoid exact zeros
-    if config["other"]["extraoptions"]["load_ion_spec"]:
-        ionData = ionData + 0.1
+    if opts["load_ele_spec"]:
+        elecData = correctThroughput(elecData, opts["spectype"], axisyE, shotNum) + _ZERO_COUNT_OFFSET
+    if opts["load_ion_spec"]:
+        ionData = ionData + _ZERO_COUNT_OFFSET
 
     BGele, BGion = get_shot_bg(config, shotNum, axisyE, elecData)
 
-    # optional CV-based lineout/fit-range estimation (reference prepare.py:74-121)
-    fd = config.get("feature_detector", {"estimate_lineouts_iaw": False, "estimate_lineouts_epw": False})
-    lineout_start = lineout_end = None
-    if fd["estimate_lineouts_iaw"] and not fd["estimate_lineouts_epw"]:
-        lineout_end, lineout_start, iaw_cf_min, iaw_cf_max, iaw_max, iaw_min = first_guess(elecData, ionData, config)
-        config["data"]["lineouts"]["start"] = all_axes["iaw_x"][lineout_start]
-        config["data"]["lineouts"]["end"] = all_axes["iaw_x"][lineout_end]
-        config["data"]["fit_rng"]["iaw_min"] = all_axes["iaw_y"][iaw_min]
-        config["data"]["fit_rng"]["iaw_max"] = all_axes["iaw_y"][iaw_max]
-        config["data"]["fit_rng"]["iaw_cf_min"] = all_axes["iaw_y"][int(iaw_cf_min)]
-        config["data"]["fit_rng"]["iaw_cf_max"] = all_axes["iaw_y"][int(iaw_cf_max)]
-    if fd["estimate_lineouts_epw"] and not fd["estimate_lineouts_iaw"]:
-        lineout_end, lineout_start, blue_min, blue_max, red_min, red_max = first_guess(elecData, ionData, config)
-        config["data"]["lineouts"]["start"] = all_axes["epw_x"][lineout_start]
-        config["data"]["lineouts"]["end"] = all_axes["epw_x"][lineout_end]
-        config["data"]["fit_rng"]["blue_min"] = all_axes["epw_y"][blue_min]
-        config["data"]["fit_rng"]["blue_max"] = all_axes["epw_y"][blue_max]
-        config["data"]["fit_rng"]["red_min"] = all_axes["epw_y"][red_min]
-        config["data"]["fit_rng"]["red_max"] = all_axes["epw_y"][red_max]
-    if fd["estimate_lineouts_epw"] and fd["estimate_lineouts_iaw"]:
-        (
-            lineout_end, lineout_start, iaw_cf_min, iaw_cf_max, iaw_max, iaw_min,
-            ion_t0_shift, blue_min, blue_max, red_min, red_max,
-        ) = first_guess(elecData, ionData, config)
-        config["data"]["lineouts"]["start"] = all_axes["epw_x"][lineout_start]
-        config["data"]["lineouts"]["end"] = all_axes["epw_x"][lineout_end]
-        config["data"]["fit_rng"]["iaw_min"] = all_axes["iaw_y"][iaw_min]
-        config["data"]["fit_rng"]["iaw_max"] = all_axes["iaw_y"][iaw_max]
-        config["data"]["fit_rng"]["iaw_cf_min"] = all_axes["iaw_y"][int(iaw_cf_min)]
-        config["data"]["fit_rng"]["iaw_cf_max"] = all_axes["iaw_y"][int(iaw_cf_max)]
-        config["data"]["ion_t0_shift"] = all_axes["iaw_x"][ion_t0_shift]
-        config["data"]["fit_rng"]["blue_min"] = all_axes["epw_y"][blue_min]
-        config["data"]["fit_rng"]["blue_max"] = all_axes["epw_y"][blue_max]
-        config["data"]["fit_rng"]["red_min"] = all_axes["epw_y"][red_min]
-        config["data"]["fit_rng"]["red_max"] = all_axes["epw_y"][red_max]
+    detected = _apply_feature_detector(config, elecData, ionData, all_axes)
+    _resolve_lineout_values(config, detected)
+    _trim_to_batch_multiple(config)
 
-    if fd["estimate_lineouts_epw"] or fd["estimate_lineouts_iaw"]:
-        if config["data"]["lineouts"]["type"] == "pixel":
-            config["data"]["lineouts"]["val"] = list(
-                range(int(lineout_start), int(lineout_end), config["data"]["lineouts"]["skip"])
-            )
-        else:
-            config["data"]["lineouts"]["val"] = list(
-                range(
-                    int(config["data"]["lineouts"]["start"]),
-                    int(config["data"]["lineouts"]["end"]),
-                    int(config["data"]["lineouts"]["skip"]),
-                )
-            )
-
-    num_slices = len(config["data"]["lineouts"]["val"])
-    batch_size = config["optimizer"]["batch_size"]
-    if num_slices % batch_size != 0:
-        print(f"total slices: {num_slices}")
-        print(f"batch size = {batch_size} is not a round divisor of the number of lineouts")
-        config["data"]["lineouts"]["val"] = config["data"]["lineouts"]["val"][: -(num_slices % batch_size)]
-        print(f"final {num_slices % batch_size} lineouts have been removed")
-
-    if (config["data"]["lineouts"]["type"] == "range") and (
-        config["other"]["extraoptions"]["spectype"] == "angular"
-    ):
-        # ARTS: downsample the image to resolution units (reference prepare.py:133-177)
-        config["other"]["extraoptions"]["spectype"] = "angular_full"
-        sa["angAxis"] = axisxE
-
-        ang_res_unit = config["other"]["ang_res_unit"]
-        lam_res_unit = config["other"]["lam_res_unit"]
-
-        def block_mean(a, n, axis):
-            idx = range(0, a.shape[axis], n)
-            return np.array([np.average(np.take(a, range(i, min(i + n, a.shape[axis])), axis=axis), axis=axis) for i in idx])
-
-        data_res_unit = block_mean(elecData, lam_res_unit, 0)
-        bg = BGele if np.ndim(BGele) == 2 else np.zeros_like(elecData)
-        bg_res_unit = block_mean(bg, lam_res_unit, 0)
-        # block_mean over axis 1 stacks blocks as rows -> [n_ang_out, n_lam_out],
-        # matching the reference's comprehension orientation (prepare.py:148-159)
-        data_res_unit = block_mean(data_res_unit, ang_res_unit, 1)
-        bg_res_unit = block_mean(bg_res_unit, ang_res_unit, 1)
-        axisyE = np.array([np.average(axisyE[i : i + lam_res_unit]) for i in range(0, axisyE.shape[0], lam_res_unit)])
-        all_axes["epw_y"] = axisyE.reshape((-1, 1))
-        axisxE = np.array([np.average(axisxE[i : i + ang_res_unit]) for i in range(0, axisxE.shape[0], ang_res_unit)])
-        all_axes["epw_x"] = axisxE.reshape((-1, 1))
-        all_data = {"e_data": data_res_unit, "e_amps": np.amax(data_res_unit, axis=1, keepdims=True)}
-        all_data["i_data"] = all_data["i_amps"] = np.zeros(len(data_res_unit))
-        all_data["noiseI"] = np.zeros(np.shape(bg_res_unit))
-        all_data["noiseE"] = config["data"]["bgscaleE"] * bg_res_unit + 0.1
-        config["other"]["CCDsize"] = np.shape(data_res_unit)
+    if config["data"]["lineouts"]["type"] == "range" and opts["spectype"] == "angular":
+        all_data, axisyE = _reduce_arts_image(config, elecData, BGele, axisxE, axisyE, sa, all_axes)
     else:
         all_data = get_lineouts(
-            elecData,
-            ionData,
-            BGele,
-            BGion,
-            axisxE,
-            axisxI,
-            axisyE,
-            axisyI,
-            config["data"]["ele_t0"],
-            config["data"]["ion_t0_shift"],
-            xlab,
-            sa,
-            config,
+            elecData, ionData, BGele, BGion, axisxE, axisxI, axisyE, axisyI,
+            config["data"]["ele_t0"], config["data"]["ion_t0_shift"], xlab, sa, config,
         )
 
     config["other"]["PhysParams"]["widIRF"] = stddev
