@@ -15,6 +15,7 @@ from .forward import calc_series
 from .inverse import fitter
 from .utils import mlflow_shim as mlflow
 from .utils.config import merge_configs
+from .utils.schema import validate_config
 
 BASE_TEMPDIR = os.environ.get("BASE_TEMPDIR", None)
 
@@ -56,6 +57,7 @@ def run(cfg_path: str, mode: str) -> str:
         raise NotImplementedError(f"Mode {mode} not implemented (use fit, forward, or series)")
     run_id, all_configs = load_and_make_folders(cfg_path)
     config = merge_configs(all_configs["defaults"], all_configs["inputs"])
+    validate_config(config, mode=mode)
     with mlflow.start_run(run_id=run_id, log_system_metrics=True):
         _run_(config, mode=mode)
     return run_id
@@ -102,6 +104,7 @@ def run_job(run_id: str, mode: str, nested: bool):
             with open(os.path.join(artifacts, f"{k}.yaml")) as fi:
                 all_configs[k] = yaml.safe_load(fi)
         config = merge_configs(all_configs["defaults"], all_configs["inputs"])
+        validate_config(config, mode=mode)
         _run_(config, mode)
 
 

@@ -38,13 +38,15 @@ def merge_configs(defaults, inputs):
     return unflatten(flat)
 
 
-def load_config(cfg_dir):
-    """Load and merge ``defaults.yaml`` + ``inputs.yaml`` from a directory."""
+def load_config(cfg_dir, mode=None):
+    """Load, merge, and validate ``defaults.yaml`` + ``inputs.yaml`` from a directory."""
+    from .schema import validate_config
+
     with open(os.path.join(cfg_dir, "defaults.yaml")) as fi:
         defaults = yaml.safe_load(fi)
     with open(os.path.join(cfg_dir, "inputs.yaml")) as fi:
         inputs = yaml.safe_load(fi)
-    return merge_configs(defaults, inputs)
+    return validate_config(merge_configs(defaults, inputs), mode=mode)
 
 
 def set_forward_ranges(config):
