@@ -4,7 +4,8 @@ Behavioral port of ``/root/reference/tsadar/forward/calc_series.py`` with the
 series loop actually functional (the reference notes its own series sweep is
 broken post-refactor, calc_series.py:34; here ``series.paramN``/``valsN`` sweep
 parameter values across electron / general / ion-1 groups).  Outputs are saved
-as .npz + CSV (xarray/netCDF is not a dependency) plus plots.
+as netCDF3 (matching the reference's xarray artifacts, via ``utils.ncwriter``)
+plus .npz + CSV and plots.
 """
 
 import os
@@ -23,7 +24,22 @@ from ..core.diagnostic import ThomsonScatteringDiagnostic
 from ..core.params import ThomsonParams
 from ..utils import mlflow_shim as mlflow
 from ..utils.data_handling.calibration import get_calibrations, get_scattering_angles
+from ..utils.ncwriter import write_dataset
 from ..utils.plotting import plotters
+
+
+def _write_series_nc(path, sim, series_vals, lam_axis):
+    """Simulated spectra as a netCDF over (series, Wavelength) coordinates
+    (reference calc_series.py:150-191). Non-numeric series values (fract/Z
+    sweeps pass lists) fall back to an index coordinate."""
+    sim = np.atleast_2d(np.squeeze(np.asarray(sim)))
+    try:
+        coord = np.asarray(series_vals, float).reshape(-1)[: sim.shape[0]]
+        if coord.size != sim.shape[0]:
+            raise ValueError
+    except (TypeError, ValueError):
+        coord = np.arange(sim.shape[0], dtype=float)
+    write_dataset(path, {"Sim": sim}, [("series", coord), ("Wavelength", np.squeeze(lam_axis))])
 
 
 def _set_series_param(parameters, name, value):
@@ -140,6 +156,7 @@ def forward_pass(config):
                     series=np.asarray(series_vals, dtype=object),
                     Wavelength=lamAxisE[0],
                 )
+                _write_series_nc(os.path.join(td, "binary", "electron_data.nc"), ThryE, series_vals, lamAxisE[0])
             if config["other"]["extraoptions"]["load_ion_spec"]:
                 ax[1].plot(lamAxisI.squeeze().transpose(), ThryI.squeeze().transpose())
                 ax[1].set_title("Simulated Data", fontsize=14)
@@ -154,6 +171,7 @@ def forward_pass(config):
                     series=np.asarray(series_vals, dtype=object),
                     Wavelength=lamAxisI[0],
                 )
+                _write_series_nc(os.path.join(td, "binary", "ion_data.nc"), ThryI, series_vals, lamAxisI[0])
             fig.savefig(os.path.join(td, "plots", "simulated_data"), bbox_inches="tight")
             plt.close(fig)
 

@@ -3,9 +3,11 @@
 Functional port of the reference plotting layer
 (``/root/reference/tsadar/utils/plotting/plotters.py``, 958 LoC of matplotlib).
 Covers the outputs the pipeline and tests rely on: final-parameter CSVs,
-parameter-vs-lineout plots with sigma bands, loss histograms, data-vs-fit images,
-best/worst lineout fits, EDF plots, and sigma datasets (saved as .npz + CSV;
-the reference uses xarray/netCDF which is not available here).
+parameter-vs-lineout plots with sigma bands, loss histograms, data-vs-fit images
+(both the reference's two-panel pcolormesh layout and a residual panel),
+best/worst lineout fits, EDF plots, and sigma datasets. Binary artifacts are
+written as netCDF3 (via ``utils.ncwriter``; xarray is not a dependency) for
+compatibility with consumers of the reference's ``.nc`` files, alongside ``.npz``.
 """
 
 import os
@@ -16,6 +18,56 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 import pandas as pd
+from matplotlib.colors import ListedColormap
+
+from ..ncwriter import write_dataset
+
+
+def _white_ramp(to_rgb, n):
+    """n RGBA rows blending white -> to_rgb (zero/low values render white)."""
+    ramp = np.ones((n, 4))
+    ramp[:, :3] = np.linspace([1.0, 1.0, 1.0], np.asarray(to_rgb)[:3], n)
+    return ramp
+
+
+def TScmap():
+    """White-footed jet colormap (reference plotters.py:935-957)."""
+    upper = plt.get_cmap("jet")(np.arange(256))
+    return ListedColormap(np.vstack([_white_ramp(upper[0], 256 // 16), upper]), name="TScmap")
+
+
+def _spectrum_cmap(foot=20):
+    """gist_ncar with its lowest ``foot`` entries ramped from white
+    (reference plot_2D_data_vs_fit, plotters.py:544-555)."""
+    colors = plt.get_cmap("gist_ncar")(np.linspace(0, 1, 256))
+    colors[:foot] = _white_ramp(colors[foot], foot)
+    return ListedColormap(colors)
+
+
+def plot_2D_data_vs_fit(
+    config, x, y, data, fit, td, xlabel="Time (ps)", ylabel="Wavelength (nm)", name="fit_and_data.png"
+):
+    """Side-by-side fit/data pcolormesh images on a shared color scale
+    (reference plotters.py:524-569). Color limits come from
+    ``config["plotting"]["data_cbar_l"/"data_cbar_u"]`` ("data" = autoscale)."""
+    plotting_cfg = config.get("plotting", {})
+    lo = plotting_cfg.get("data_cbar_l", "data")
+    hi = plotting_cfg.get("data_cbar_u", "data")
+    vmin = np.amin(data) if lo == "data" else lo
+    vmax = np.amax(data) if hi == "data" else hi
+
+    cmap = _spectrum_cmap()
+    fig, ax = plt.subplots(1, 2, figsize=(12, 5), tight_layout=True)
+    pc = ax[0].pcolormesh(x, y, fit, shading="nearest", cmap=cmap, vmin=vmin, vmax=vmax)
+    ax[1].pcolormesh(x, y, data, shading="nearest", cmap=cmap, vmin=vmin, vmax=vmax)
+    ax[0].set_title("fit")
+    ax[1].set_title("data")
+    for a in ax:
+        a.set_xlabel(xlabel)
+        a.set_ylabel(ylabel)
+    fig.colorbar(pc)
+    fig.savefig(os.path.join(td, "plots", name), bbox_inches="tight")
+    plt.close(fig)
 
 
 def _lineout_axis(config, all_axes, n):
@@ -90,25 +142,56 @@ def plot_loss_hist(config, losses_init, losses, reduced_points, td):
 
 
 def plot_ts_data(config, fits, all_data, all_axes, td):
-    """Data vs fit images for electron and ion spectra."""
+    """Data vs fit images for electron and ion spectra.
+
+    Produces the reference artifact set (``binary/{ele,ion}_fit_and_data.nc``
+    netCDFs + ``plots/fit_and_data_{ele,ion}.png`` two-panel pcolormesh,
+    reference plotters.py:450-522) plus this repo's residual panel and ``.npz``.
+    """
     savedata = {}
-    for species, dkey in (("ele", "e_data"), ("ion", "i_data")):
+    for species, dkey, axis, pixkey in (
+        ("ele", "e_data", "epw", "pixelE"),
+        ("ion", "i_data", "iaw", "pixelI"),
+    ):
         data = np.atleast_2d(np.asarray(all_data[dkey]))
         fit = fits[species]["total_spec"] if isinstance(fits[species], dict) else np.asarray(fits[species])
+        fit = np.atleast_2d(np.asarray(fit))
         if data.size <= 1 or np.all(data == 0):
             continue
         fig, ax = plt.subplots(1, 3, figsize=(14, 4), tight_layout=True)
         vmax = np.percentile(data, 99)
         ax[0].imshow(data, aspect="auto", vmin=0, vmax=vmax)
         ax[0].set_title(f"{species} data")
-        ax[1].imshow(np.atleast_2d(fit), aspect="auto", vmin=0, vmax=vmax)
+        ax[1].imshow(fit, aspect="auto", vmin=0, vmax=vmax)
         ax[1].set_title("fit")
-        ax[2].imshow(data - np.atleast_2d(fit), aspect="auto")
+        ax[2].imshow(data - fit, aspect="auto")
         ax[2].set_title("residual")
         fig.savefig(os.path.join(td, "plots", f"{species}_data_vs_fit.png"), bbox_inches="tight")
         plt.close(fig)
         savedata[species] = {"data": data, "fit": fit}
         np.savez(os.path.join(td, "binary", f"{species}_fit_and_data.npz"), data=data, fit=fit)
+
+        # reference-parity artifacts, skipped when calibrated axes are absent
+        # (synthetic runs that never went through prepare_data)
+        try:
+            pix = np.asarray(config["data"]["lineouts"][pixkey], int)
+            xvals = np.squeeze(np.asarray(all_axes[f"{axis}_x"]))[pix]
+            yvals = np.squeeze(np.asarray(all_axes[f"{axis}_y"]))
+        except (KeyError, IndexError, TypeError):
+            continue
+        if data.shape != (xvals.size, yvals.size):
+            continue
+        write_dataset(
+            os.path.join(td, "binary", f"{species}_fit_and_data.nc"),
+            {"fit": fit, "data": data},
+            [(all_axes.get("x_label", "lineout"), xvals), ("Wavelength", yvals)],
+        )
+        x_grid, y_grid = np.meshgrid(xvals, yvals)
+        plot_2D_data_vs_fit(
+            config, x_grid, y_grid, data.T, fit.T, td,
+            xlabel=all_axes.get("x_label", "lineout"),
+            name=f"fit_and_data_{species}.png",
+        )
     return savedata
 
 
@@ -152,6 +235,20 @@ def save_sigmas_params(config, all_params, sigmas, all_axes, td):
     np.savez(os.path.join(td, "binary", "sigmas.npz"), sigmas=sigmas, names=np.array(names, dtype=object))
     df = pd.DataFrame(sigmas, columns=names + [f"p{i}" for i in range(sigmas.shape[1] - len(names))])
     df.to_csv(os.path.join(td, "csv", "sigmas.csv"))
+
+    # reference-parity sigmas.nc: one variable per parameter over the lineout
+    # axis (reference plotters.py:383-407)
+    try:
+        pix = np.asarray(config["data"]["lineouts"]["pixelE"], int)
+        xvals = np.squeeze(np.asarray(all_axes["epw_x"]))[pix]
+    except (KeyError, IndexError, TypeError):
+        xvals = np.arange(sigmas.shape[0], dtype=float)
+    if sigmas.shape[0] == xvals.size:
+        write_dataset(
+            os.path.join(td, "sigmas.nc"),
+            {name.replace(".", "_"): sigmas[:, i] for i, name in enumerate(names)},
+            [(all_axes.get("x_label", "lineout"), xvals)],
+        )
     return {"sigmas": sigmas, "names": names}
 
 
@@ -197,6 +294,25 @@ def plot_data_angular(config, fits, all_data, all_axes, td):
     fig.savefig(os.path.join(td, "plots", "angular_data_vs_fit.png"), bbox_inches="tight")
     plt.close(fig)
     np.savez(os.path.join(td, "binary", "angular_fit_and_data.npz"), data=data, fit=fit)
+
+    # reference-parity artifacts (plotters.py:410-447): netCDF over the fit
+    # window + the two-panel pcolormesh against the angle axis
+    try:
+        xvals = np.squeeze(np.asarray(all_axes["epw_x"]))[sl]
+        yvals = np.squeeze(np.asarray(all_axes["epw_y"]))
+        windowed = data[sl]
+        if windowed.shape == fit.shape == (xvals.size, yvals.size):
+            write_dataset(
+                os.path.join(td, "binary", "fit_and_data.nc"),
+                {"fit": fit, "data": windowed},
+                [(all_axes.get("x_label", "Scattering angle (degrees)"), xvals), ("Wavelength", yvals)],
+            )
+            x_grid, y_grid = np.meshgrid(xvals, yvals)
+            plot_2D_data_vs_fit(
+                config, x_grid, y_grid, windowed.T, fit.T, td, xlabel="Angle (degrees)"
+            )
+    except (KeyError, IndexError, TypeError):
+        pass
     return {"data": data, "fit": fit}
 
 
@@ -242,5 +358,14 @@ def plot_dist(config, elec_species, final_params, sigma_fe, td):
 
 
 def save_sigmas_fe(final_params, best_weights_std, sigmas, td):
-    np.savez(os.path.join(td, "binary", "sigmas_fe.npz"), sigmas=np.asarray(sigmas))
-    return np.asarray(sigmas)
+    sigmas = np.asarray(sigmas)
+    np.savez(os.path.join(td, "binary", "sigmas_fe.npz"), sigmas=sigmas)
+    # reference-parity sigma-fe.nc over the (normalized) velocity coordinate
+    # (reference plotters.py:347-380)
+    fe_sigma = np.ravel(sigmas)
+    write_dataset(
+        os.path.join(td, "binary", "sigma-fe.nc"),
+        {"sigma_fe": fe_sigma},
+        [("v", np.linspace(-7, 7, fe_sigma.size))],
+    )
+    return sigmas
