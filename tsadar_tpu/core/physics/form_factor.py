@@ -94,11 +94,13 @@ class FormFactor:
         self.xi1 = jnp.asarray(xi1)
         self.dxi1 = float(xi1[1] - xi1[0])
         self.xi2 = jnp.asarray(np.arange(-minmax, minmax, self.h))
-        # static Toeplitz kernels for the chi_R pole sweep (see ratint.pv_integral_uniform):
-        # midpoint poles + interleaved node poles give a table spacing of
-        # dxi1/2 ~ 0.008, denser than the reference's 0.01 xi2 grid
-        self._pv_kernel = ratint.pv_toeplitz_kernel(h1 - 2)
-        self._pv_node_kernel = ratint.pv_node_kernel(h1 - 2)
+        # static precombined PV matrices for the chi_R pole sweep (see
+        # ratint.pv_combined_kernel): midpoint poles + interleaved node poles
+        # give a table spacing of dxi1/2 ~ 0.008, denser than the reference's
+        # 0.01 xi2 grid; each table is one [.., h1] @ [h1, h1-2] matmul
+        self._pv_kmid, self._pv_knode = ratint.pv_combined_kernels(h1 - 2)
+        self._pv_mid_poles = jnp.asarray(0.5 * (xi1[1:-1] + xi1[0:-2]))
+        self._pv_node_poles = jnp.asarray(xi1[1 : h1 - 2])
 
         self.lam_shift = lam_shift
         self.scattering_angles = {k: jnp.asarray(v) for k, v in scattering_angles.items()}
@@ -239,10 +241,13 @@ class FormFactor:
 
         ratmod = jnp.exp(interp1d_cubic_matmul(self.xi1, vx, log_fe, extrap=(-50.0, -50.0)))
         ratdf = jnp.gradient(ratmod, self.dxi1)
-        # chi_R table via Toeplitz correlations on interleaved midpoint + node
-        # poles (replaces the dense 1640x1022 pole sweep, form_factor.py:263-271)
-        mid_poles, mid_vals = ratint.pv_integral_uniform(ratdf, self.xi1, self._pv_kernel)
-        node_poles, node_vals = ratint.pv_integral_uniform_nodes(ratdf, self.xi1, self._pv_node_kernel)
+        # chi_R table on interleaved midpoint + node poles via the precombined
+        # PV matmuls (replaces the dense 1640x1022 pole sweep of the reference,
+        # form_factor.py:263-271; see ratint.pv_combined_kernel for why the
+        # single-matmul form is both 2x cheaper and far better conditioned
+        # than per-stage Toeplitz contractions)
+        mid_poles, node_poles = self._pv_mid_poles, self._pv_node_poles
+        mid_vals, node_vals = ratint.pv_tables_matmul(ratdf, self._pv_kmid, self._pv_knode)
         n_tab = mid_poles.shape[0] + node_poles.shape[0]
         pv_poles = jnp.zeros(n_tab, mid_poles.dtype).at[0::2].set(mid_poles).at[1::2].set(node_poles)
         chiERratprim = jnp.zeros(n_tab, mid_vals.dtype).at[0::2].set(mid_vals).at[1::2].set(node_vals)
@@ -428,10 +433,13 @@ class FormFactor:
 
             f1d, df1d = jax.lax.map(jax.checkpoint(one), betas, batch_size=32)
 
-        # chi_R tables on the vx midpoint-pole grid via Toeplitz matmuls
-        kernel = ratint.pv_toeplitz_kernel(vx.shape[0] - 2)
+        # chi_R tables on the vx midpoint-pole grid via the precombined PV
+        # matmul (single [B, N] @ [N, M] contraction; see pv_combined_kernel —
+        # half the FLOPs of the two-stage Toeplitz form and ~1000x less f32
+        # cancellation because the index weights are folded in on the host)
+        kernel = ratint.pv_combined_kernel(vx.shape[0] - 2, 0.0)
         pole_grid = 0.5 * (vx[1:-1] + vx[0:-2])
-        chiR_tab = jax.vmap(lambda d: ratint.pv_integral_uniform(d, vx, kernel)[1])(df1d)  # [B,M]
+        chiR_tab = df1d @ kernel.astype(df1d.dtype)  # [B,M]
         return betas, f1d, df1d, pole_grid, chiR_tab
 
     @staticmethod

@@ -181,6 +181,61 @@ def pv_integral_uniform_nodes(f, z, kernel=None):
     return poles, out[: m - 1]
 
 
+def pv_combined_kernel(n_intervals, delta):
+    """Fully-precombined PV-table matrix K [N, M]: table = f @ K.
+
+    The midpoint/node PV tables are linear in the integrand f, so both stages
+    of ``pv_integral_uniform``(+``_nodes``) — the finite-difference stencils
+    (fav, fdif) and the Toeplitz contraction — collapse into one host-built
+    f64 matrix.  Writing W[p,i] = 1 + (p + delta - i)·T[p,i] (delta = 0 for
+    midpoint poles, 0.5 for node poles), the table is
+    out[p] = Σ_i (T[p,i]·fav_i + W[p,i]·fdif_i), so the coefficient on node j
+    is 0.5·(T[p,j] + T[p,j-1]) + (W[p,j-1] - W[p,j]).
+
+    One [.., N] @ [N, M] matmul replaces two [M, M] contractions per table:
+    half the FLOPs, a native matmul transpose for reverse-mode AD, and better
+    conditioning — W ≈ O(1/(p-i)²) because d·L(d) → 1, where the two-stage
+    form multiplies the unbounded index weights idx ∈ [0, M) explicitly.
+    """
+    m = n_intervals
+    # build T in pure numpy (same formulas as pv_toeplitz_kernel/pv_node_kernel;
+    # a jnp round trip would fail under an active trace — 2V builds this inside jit)
+    d = _np.arange(m)[None, :] - _np.arange(m)[:, None]
+    if delta == 0.0:
+        T = _np.log(_np.abs(d + 0.5)) - _np.log(_np.abs(d - 0.5))
+    else:
+        dn = d - 1
+        with _np.errstate(divide="ignore"):
+            T = _np.log(_np.abs(dn + 1.0)) - _np.log(_np.abs(dn).clip(min=1e-300))
+        T[(dn == 0) | (dn == -1)] = 0.0
+    p = _np.arange(m, dtype=_np.float64)[:, None]
+    i = _np.arange(m, dtype=_np.float64)[None, :]
+    W = 1.0 + (p + delta - i) * T
+    K = _np.zeros((m + 2, m))
+    K[:m] += 0.5 * T.T - W.T  # node j as the left end of interval i = j
+    K[1 : m + 1] += 0.5 * T.T + W.T  # node j as the right end of interval i = j - 1
+    return jnp.asarray(K)
+
+
+def pv_combined_kernels(n_intervals):
+    """(K_mid [N, M], K_node [N, M]) for ``pv_tables_matmul``."""
+    return pv_combined_kernel(n_intervals, 0.0), pv_combined_kernel(n_intervals, 0.5)
+
+
+def pv_tables_matmul(f, kmid, knode):
+    """Midpoint + node PV tables as two matmuls: f [..., N] -> ([..., M], [..., M-1]).
+
+    Matches ``pv_integral_uniform(f, z)[1]`` and
+    ``pv_integral_uniform_nodes(f, z)[1]`` exactly (same piecewise-linear PV
+    integral, reassociated); supports arbitrary leading batch dims.
+    """
+    kmid = kmid.astype(f.dtype)
+    knode = knode.astype(f.dtype)
+    mid = f @ kmid
+    node = (f @ knode)[..., : kmid.shape[1] - 1]
+    return mid, node
+
+
 def pv_integral(f, z, poles):
     """Principal-value integral int f(z')/(z' - p) dz' for a batch of poles.
 
