@@ -24,6 +24,7 @@ if jax.default_backend() == "cpu":
     jax_config.update("jax_enable_x64", True)
 
 from tsadar_tpu.runner import run, run_job
+from tsadar_tpu.utils.export import export_run
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="TPU-native Thomson scattering analysis")
@@ -34,10 +35,13 @@ if __name__ == "__main__":
 
     if args.run_id is not None:
         run_job(args.run_id, mode=args.mode, nested=False)
+        run_id = args.run_id
     else:
         if args.cfg is None:
             parser.error("--cfg <config_dir> is required (or pass --run_id to resume a run)")
-        run(args.cfg, mode=args.mode)
+        run_id = run(args.cfg, mode=args.mode)
 
+    # hosted-app ingestion export (reference run_tsadar.py:30-31); uploads to
+    # S3 when boto3 exists, else mirrors the bucket layout to a local staging dir
     if "MLFLOW_EXPORT" in os.environ:
-        print("MLFLOW_EXPORT requested; S3 export requires mlflow_export_import (not installed)")
+        export_run(run_id)
