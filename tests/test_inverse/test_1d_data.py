@@ -50,12 +50,36 @@ def test_data(tmp_path):
         "m_electron": 3.20,
     }
 
-    # amp1 sits at 10.7% without the dewarp (blue-side amplitude is the quantity
-    # most affected by the streak warp); every other parameter is within a few
-    # percent: Te 2.3%, ne 1.2%, m 1%, lam 0.3%, amp2 3%
+    # amp1 sits at 10.7% without the dewarp; every other parameter is within a
+    # few percent: Te 2.3%, ne 1.2%, m 1%, lam 0.3%, amp2 3%.  Why amp1 and only
+    # amp1: the upstream-validated 0.733 was produced WITH the streak dewarp
+    # (maps absent from the public snapshot, .MISSING_LARGE_BLOBS:15-16).  The
+    # forward-splat dewarp conserves total counts but locally redistributes
+    # them, and the per-lineout amplitude normalization is the *max* of the
+    # data in the fit range (lineouts.py) — a pure geometry-driven rescaling of
+    # the blue EPW peak relative to its dewarped value, which the amp1
+    # amplitude parameter then absorbs 1:1.  Te/ne/m are set by peak POSITIONS
+    # and widths, which the warp barely moves — matching what we observe.
+    # Without the maps the 0.733 target is unrecoverable; the fitted value is
+    # pinned tightly below instead so any regression of this surface is caught.
     assert_allclose(fit_results["amp1_general"][0], real_values["amp1_general"], rtol=1.2e-1)
     assert_allclose(fit_results["amp2_general"][0], real_values["amp2_general"], rtol=1e-1)
     assert_allclose(fit_results["lam_general"][0], real_values["lam_general"], rtol=5e-3)
     assert_allclose(fit_results["Te_electron"][0], real_values["Te_electron"], rtol=1e-1)
     assert_allclose(fit_results["ne_electron"][0], real_values["ne_electron"], rtol=5e-2)
     assert_allclose(fit_results["m_electron"][0], real_values["m_electron"], rtol=15e-2)
+
+    # Self-validated pins for BOTH fitted lineouts (pixels 500 and 505; CPU-f64
+    # L-BFGS-B from the deck's fixed init is deterministic).  These widen the
+    # regression surface beyond the single upstream-validated lineout and pin
+    # amp1 at its no-dewarp value to 3%.
+    pinned = {
+        "amp1_general": [0.8114, 0.7884],
+        "amp2_general": [0.5352, 0.5497],
+        "lam_general": [525.35, 525.18],
+        "Te_electron": [0.6560, 0.6390],
+        "ne_electron": [0.2251, 0.2244],
+        "m_electron": [3.174, 3.107],
+    }
+    for key, vals in pinned.items():
+        assert_allclose(fit_results[key][:2], vals, rtol=3e-2, err_msg=key)

@@ -1,0 +1,59 @@
+"""Second real-data regression surface: IAW-only fit of OMEGA shot 101675.
+
+The EPW real-shot test (test_1d_data.py) is the only upstream-validated gate,
+and its amp1 value depends on the streak dewarp maps that are missing from the
+public snapshot.  The temporal IAW channel is *independent of the dewarp*
+(only EPW streak data is warped, reference ``load_ts_data.py``), so this test
+pins a dewarp-free fit: the shipped ``configs/1d`` deck (Te, ud, Va, amp3
+active; Ti/Z/ne fixed) trimmed to two ps-lineouts.  Values are self-validated
+pins — CPU-f64 L-BFGS-B from the deck's fixed init is deterministic — so any
+regression in the IAW physics, ion susceptibility, Doppler terms, or the data
+pipeline moves them.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+from numpy.testing import assert_allclose
+
+from tsadar_tpu.inverse import fitter
+from tsadar_tpu.utils import mlflow_shim as mlflow
+from tsadar_tpu.utils.config import merge_configs
+
+HERE = os.path.dirname(__file__)
+CONFIGS = os.path.join(HERE, "..", "..", "configs", "1d")
+
+
+@pytest.mark.slow
+def test_iaw_data(tmp_path):
+    with open(os.path.join(CONFIGS, "defaults.yaml")) as fi:
+        defaults = yaml.safe_load(fi)
+    with open(os.path.join(CONFIGS, "inputs.yaml")) as fi:
+        inputs = yaml.safe_load(fi)
+    config = merge_configs(defaults, inputs)
+    config["data"]["lineouts"].update({"start": 535, "end": 735, "skip": 100})
+
+    os.environ["TSADAR_RUNS_DIR"] = str(tmp_path)
+    mlflow.set_experiment("tsadar-tpu-tests")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        with mlflow.start_run(run_name="test_1d_iaw_data"):
+            fit_results, loss = fitter.fit(config=config)
+    finally:
+        os.chdir(cwd)
+
+    # self-validated pins at t = 535 ps and 635 ps
+    pinned = {
+        "Te_electron": [0.7497, 0.8844],
+        "Va_general": [-1.885, -1.817],
+        "amp3_general": [0.9707, 0.9590],
+    }
+    for key, vals in pinned.items():
+        assert_allclose(fit_results[key][:2], vals, rtol=5e-2, err_msg=key)
+    # ud is the softest direction of the IAW likelihood (doublet asymmetry);
+    # pin it loosely but enough to catch sign/scale regressions
+    assert_allclose(fit_results["ud_general"][:2], [-2.477, -0.987], rtol=2e-1, err_msg="ud")
+    assert float(np.asarray(loss).ravel()[0]) < 1e-3
