@@ -10,7 +10,7 @@ from numpy.testing import assert_allclose
 import jax
 from jax import numpy as jnp
 
-from tsadar_tpu.core.physics import ratintn, pv_integral
+from tsadar_tpu.core.physics import ratint, ratintn, pv_integral
 
 
 def _grid(n=2001, lo=-4.0, hi=4.0, offset=0.0137):
@@ -79,3 +79,22 @@ def test_pv_integral_grad_no_nan():
 
     for p in [float(z[250]), float(0.5 * (z[250] + z[251]))]:
         assert np.isfinite(float(jax.grad(loss2)(p)))
+
+
+def test_pv_tables_matmul_matches_two_stage():
+    """The precombined single-matmul tables must equal the two-stage Toeplitz
+    form to f64 roundoff, including batched leading dims."""
+    rng = np.random.default_rng(7)
+    n = 128
+    z = jnp.asarray(np.linspace(-8.2, 8.2, n))
+    kmid, knode = ratint.pv_combined_kernels(n - 2)
+    tmid = ratint.pv_toeplitz_kernel(n - 2)
+    tnode = ratint.pv_node_kernel(n - 2)
+
+    f = jnp.asarray(rng.standard_normal((3, n)))
+    mid, node = ratint.pv_tables_matmul(f, kmid, knode)
+    for i in range(3):
+        _, mref = ratint.pv_integral_uniform(f[i], z, tmid)
+        _, nref = ratint.pv_integral_uniform_nodes(f[i], z, tnode)
+        np.testing.assert_allclose(mid[i], mref, rtol=1e-11, atol=1e-12)
+        np.testing.assert_allclose(node[i], nref, rtol=1e-11, atol=1e-12)
