@@ -132,7 +132,10 @@ def _gate_values():
     }
 
 
-def measure(batch_size=BATCH, iters=ITERS, want_flops=False):
+def measure(batch_size=BATCH, iters=ITERS, want_flops=False, repeats=3):
+    """Best of ``repeats`` timing windows: the shared axon chip shows large
+    run-to-run spread (contention + nondeterministic lowerings), and the best
+    window is the least-contended estimate of the program's actual speed."""
     import jax
 
     fwd, ts_params, batch, _, _ = _fwd_1d(batch_size)
@@ -141,11 +144,13 @@ def measure(batch_size=BATCH, iters=ITERS, want_flops=False):
     jax.block_until_ready(out)
     for _ in range(WARMUP):
         jax.block_until_ready(compiled(ts_params, batch))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = compiled(ts_params, batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = compiled(ts_params, batch)
+        jax.block_until_ready(out)
+        dt = min(dt, time.perf_counter() - t0)
 
     flops = None
     if want_flops:
