@@ -7,6 +7,11 @@ EDF dimension, averages over gradient points, weights and sums over scattering
 angles (matmul against the fine-angle weight matrix for ARTS), and applies the
 iawoff/iawfilter spectral notches.
 
+Name glossary vs the reference (for parity checking): the reduced per-feature
+spectra returned here in (ele, ion) order correspond to the reference's
+``modlE``/``modlI``; the unreduced [grad, lambda, angle] stacks to
+``ThryE``/``ThryI``; the wavelength axes to ``lamAxisE``/``lamAxisI``.
+
 Deviation (documented): the reference's ``iawoff`` concatenation
 (generate_spectra.py:200-208) computes dynamically-shaped slices that cannot jit
 (and whose slice sizes are negative for ascending wavelength axes); we implement
@@ -20,6 +25,9 @@ from jax import numpy as jnp
 
 from .form_factor import FormFactor
 
+PROBE_NOTCH_HALF_WIDTH_NM = 3.0  # iawoff notch about the probe line
+FILTER_SUPPRESSION_OD = 9  # extra OD applied to the unreduced stack in detailed mode
+
 
 class SpectrumModel:
     """FitModel-equivalent spectrum generator."""
@@ -28,136 +36,131 @@ class SpectrumModel:
         self.config = config
         self.scattering_angles = {k: jnp.asarray(v) for k, v in scattering_angles.items()}
 
-        assert (
-            config["parameters"]["general"]["Te_gradient"]["num_grad_points"]
-            == config["parameters"]["general"]["ne_gradient"]["num_grad_points"]
-        ), "Number of gradient points for Te and ne must be the same"
-        num_grad_points = config["parameters"]["general"]["Te_gradient"]["num_grad_points"]
+        grad_cfg = config["parameters"]["general"]
+        if grad_cfg["Te_gradient"]["num_grad_points"] != grad_cfg["ne_gradient"]["num_grad_points"]:
+            raise ValueError("Number of gradient points for Te and ne must be the same")
+        num_grad_points = grad_cfg["Te_gradient"]["num_grad_points"]
 
         self.dim = config["parameters"]["electron"]["fe"]["dim"]
-        ud_angle = None if self.dim < 2 else config["parameters"]["general"]["ud"]["angle"]
-        va_angle = None if self.dim < 2 else config["parameters"]["general"]["Va"]["angle"]
+        ud_angle = None if self.dim < 2 else grad_cfg["ud"]["angle"]
+        va_angle = None if self.dim < 2 else grad_cfg["Va"]["angle"]
 
-        self.electron_form_factor = FormFactor(
-            config["other"]["lamrangE"],
-            npts=config["other"]["npts"],
-            lam_shift=config["data"]["ele_lam_shift"],
-            scattering_angles=self.scattering_angles,
-            num_grad_points=num_grad_points,
-            ud_ang=ud_angle,
-            va_ang=va_angle,
-            mode=mode_2v,
-            shard_points=shard_2v_points,
-        )
-        self.ion_form_factor = FormFactor(
-            config["other"]["lamrangI"],
-            npts=config["other"]["npts"],
-            lam_shift=0,
-            scattering_angles=self.scattering_angles,
-            num_grad_points=num_grad_points,
-            ud_ang=ud_angle,
-            va_ang=va_angle,
-            mode=mode_2v,
-            shard_points=shard_2v_points,
-        )
+        def build_form_factor(lam_range, lam_shift):
+            return FormFactor(
+                lam_range,
+                npts=config["other"]["npts"],
+                lam_shift=lam_shift,
+                scattering_angles=self.scattering_angles,
+                num_grad_points=num_grad_points,
+                ud_ang=ud_angle,
+                va_ang=va_angle,
+                mode=mode_2v,
+                shard_points=shard_2v_points,
+            )
 
-    def __call__(self, all_params: Dict):
-        lamAxisI, modlI = self.ion_spectrum(all_params)
-        lamAxisE, modlE = self.electron_spectrum(all_params)
-        return modlE, modlI, lamAxisE, lamAxisI
+        self.electron_form_factor = build_form_factor(
+            config["other"]["lamrangE"], config["data"]["ele_lam_shift"]
+        )
+        self.ion_form_factor = build_form_factor(config["other"]["lamrangI"], 0)
+
+    # ------------------------------------------------------------- primitives
 
     def _raw(self, form_factor, all_params):
+        """Unreduced [grad, lambda, angle] spectrum + broadcastable axis in nm."""
         if self.dim == 1:
-            return form_factor(all_params)
-        return form_factor.calc_in_2D(all_params)
+            skw, lam_axis = form_factor(all_params)
+        else:
+            skw, lam_axis = form_factor.calc_in_2D(all_params)
+        return skw, lam_axis * 1e7  # cm -> nm, shape [1, L, 1]
+
+    def _angle_reduce(self, grad_averaged):
+        """Aperture-weighted angle reduction of a gradient-averaged spectrum."""
+        if self.config["other"]["extraoptions"]["spectype"] == "angular_full":
+            # ARTS: full [fine-angle, lambda] image via the weight matrix
+            return jnp.matmul(self.scattering_angles["weights"], grad_averaged.transpose())
+        return jnp.sum(grad_averaged * self.scattering_angles["weights"][0], axis=1)
+
+    def _probe_notch(self, spectrum, lam_axis, probe_lam):
+        """iawoff: zero the ion feature near the probe line (see module deviation note)."""
+        if not self.config["other"]["iawoff"]:
+            return spectrum
+        near_probe = jnp.abs(lam_axis - probe_lam) < PROBE_NOTCH_HALF_WIDTH_NM
+        return jnp.where(near_probe, 0.0, spectrum)
+
+    def _filter_band(self):
+        """(blue edge, red edge, OD) of the configured iaw notch filter, or None."""
+        enabled, od, width, center = self.config["other"]["iawfilter"][:4]
+        if not enabled:
+            return None
+        lam_lo, lam_hi = self.config["other"]["lamrangE"]
+        blue, red = center - width / 2, center + width / 2
+        if lam_lo >= red or lam_hi <= blue:  # filter entirely outside the range
+            return None
+        return blue, red, od
+
+    def _od_filter(self, spectrum, lam_axis, band, od=None):
+        """Multiply the filter band by 10^-OD (physical notch filter)."""
+        blue, red, band_od = band
+        in_band = (lam_axis > blue) & (lam_axis < red)
+        return jnp.where(in_band, spectrum * 10.0 ** (-(band_od if od is None else od)), spectrum)
+
+    # -------------------------------------------------------------- interfaces
+
+    def __call__(self, all_params: Dict):
+        lam_axis_ion, ion_reduced = self.ion_spectrum(all_params)
+        lam_axis_ele, ele_reduced = self.electron_spectrum(all_params)
+        return ele_reduced, ion_reduced, lam_axis_ele, lam_axis_ion
 
     def ion_spectrum(self, all_params):
         """IAW feature (reference generate_spectra.py:139-169)."""
         if not self.config["other"]["extraoptions"]["load_ion_spec"]:
             return jnp.zeros(1), jnp.zeros(1)
-        ThryI, lamAxisI = self._raw(self.ion_form_factor, all_params)
-        lamAxisI = jnp.squeeze(lamAxisI) * 1e7  # cm -> nm
-        ThryI = jnp.mean(ThryI, axis=0)
-        modlI = jnp.sum(ThryI * self.scattering_angles["weights"][0], axis=1)
-        return lamAxisI, modlI
+        skw, lam_axis = self._raw(self.ion_form_factor, all_params)
+        reduced = jnp.sum(jnp.mean(skw, axis=0) * self.scattering_angles["weights"][0], axis=1)
+        return jnp.squeeze(lam_axis), reduced
 
     def electron_spectrum(self, all_params):
         """EPW feature with angle weighting and notches (reference :171-220)."""
         if not self.config["other"]["extraoptions"]["load_ele_spec"]:
             return jnp.zeros(1), jnp.zeros(1)
-        ThryE, lamAxisE = self._raw(self.electron_form_factor, all_params)
-        lamAxisE = jnp.squeeze(lamAxisE) * 1e7
-
-        ThryE = jnp.mean(ThryE, axis=0)
-        if self.config["other"]["extraoptions"]["spectype"] == "angular_full":
-            modlE = jnp.matmul(self.scattering_angles["weights"], ThryE.transpose())
-        else:
-            modlE = jnp.sum(ThryE * self.scattering_angles["weights"][0], axis=1)
-
-        lam = all_params["general"]["lam"]
-        lamrangE = self.config["other"]["lamrangE"]
-        if self.config["other"]["iawoff"]:
-            # zero the ion feature within +-3 nm of the probe, if inside the range
-            notch = (lamAxisE > lam - 3.0) & (lamAxisE < lam + 3.0)
-            modlE = jnp.where(notch, 0.0, modlE)
-
-        if self.config["other"]["iawfilter"][0]:
-            filterb = self.config["other"]["iawfilter"][3] - self.config["other"]["iawfilter"][2] / 2
-            filterr = self.config["other"]["iawfilter"][3] + self.config["other"]["iawfilter"][2] / 2
-            if lamrangE[0] < filterr and lamrangE[1] > filterb:
-                indices = (filterb < lamAxisE) & (filterr > lamAxisE)
-                modlE = jnp.where(
-                    indices, modlE * 10.0 ** (-self.config["other"]["iawfilter"][1]), modlE
-                )
-        return lamAxisE, modlE
+        skw, lam_axis_full = self._raw(self.electron_form_factor, all_params)
+        lam_axis = jnp.squeeze(lam_axis_full)
+        reduced = self._angle_reduce(jnp.mean(skw, axis=0))
+        reduced = self._probe_notch(reduced, lam_axis, all_params["general"]["lam"])
+        band = self._filter_band()
+        if band is not None:
+            reduced = self._od_filter(reduced, lam_axis, band)
+        return lam_axis, reduced
 
     # -------- detailed (per-component) variants for postprocessing plots --------
 
     def detailed_spectrum(self, all_params: Dict):
         """Total + unreduced component spectra (reference :222-338)."""
-        lamAxisI, modlI, ThryI = self.ion_spectrum_detailed(all_params)
-        lamAxisE, modlE, ThryE = self.electron_spectrum_detailed(all_params)
-        return modlE, modlI, ThryE, ThryI, lamAxisE, lamAxisI
+        lam_axis_ion, ion_reduced, ion_stack = self.ion_spectrum_detailed(all_params)
+        lam_axis_ele, ele_reduced, ele_stack = self.electron_spectrum_detailed(all_params)
+        return ele_reduced, ion_reduced, ele_stack, ion_stack, lam_axis_ele, lam_axis_ion
 
     def ion_spectrum_detailed(self, all_params):
         if not self.config["other"]["extraoptions"]["load_ion_spec"]:
             return jnp.zeros(1), jnp.zeros(1), jnp.zeros(1)
-        ThryI, lamAxisI = self._raw(self.ion_form_factor, all_params)
-        lamAxisI = jnp.squeeze(lamAxisI) * 1e7
-        modlI = jnp.mean(ThryI, axis=0)
-        modlI = jnp.sum(modlI * self.scattering_angles["weights"][0], axis=1)
-        return lamAxisI, modlI, ThryI
+        skw, lam_axis = self._raw(self.ion_form_factor, all_params)
+        reduced = jnp.sum(jnp.mean(skw, axis=0) * self.scattering_angles["weights"][0], axis=1)
+        return jnp.squeeze(lam_axis), reduced, skw
 
     def electron_spectrum_detailed(self, all_params):
         if not self.config["other"]["extraoptions"]["load_ele_spec"]:
             return jnp.zeros(1), jnp.zeros(1), jnp.zeros(1)
-        ThryE_raw, lamAxisE_orig = self._raw(self.electron_form_factor, all_params)
-        lamAxisE_orig = lamAxisE_orig * 1e7
-        lamAxisE = jnp.squeeze(lamAxisE_orig)
-
-        modlE = jnp.mean(ThryE_raw, axis=0)
-        if self.config["other"]["extraoptions"]["spectype"] == "angular_full":
-            modlE = jnp.matmul(self.scattering_angles["weights"], modlE.transpose())
-        else:
-            modlE = jnp.sum(modlE * self.scattering_angles["weights"][0], axis=1)
-
-        lam = all_params["general"]["lam"]
-        ThryE = ThryE_raw
-        if self.config["other"]["iawoff"]:
-            notch = (lamAxisE > lam - 3.0) & (lamAxisE < lam + 3.0)
-            modlE = jnp.where(notch, 0.0, modlE)
-        if self.config["other"]["iawfilter"][0]:
-            filterb = self.config["other"]["iawfilter"][3] - self.config["other"]["iawfilter"][2] / 2
-            filterr = self.config["other"]["iawfilter"][3] + self.config["other"]["iawfilter"][2] / 2
-            lamrangE = self.config["other"]["lamrangE"]
-            if lamrangE[0] < filterr and lamrangE[1] > filterb:
-                indices = (filterb < lamAxisE) & (filterr > lamAxisE)
-                modlE = jnp.where(
-                    indices, modlE * 10.0 ** (-self.config["other"]["iawfilter"][1]), modlE
-                )
-                indices_orig = (filterb < lamAxisE_orig) & (filterr > lamAxisE_orig)
-                ThryE = jnp.where(indices_orig, ThryE * 10.0 ** (-9), ThryE)
-        return lamAxisE, modlE, ThryE
+        skw, lam_axis_full = self._raw(self.electron_form_factor, all_params)
+        lam_axis = jnp.squeeze(lam_axis_full)
+        reduced = self._angle_reduce(jnp.mean(skw, axis=0))
+        reduced = self._probe_notch(reduced, lam_axis, all_params["general"]["lam"])
+        band = self._filter_band()
+        if band is not None:
+            reduced = self._od_filter(reduced, lam_axis, band)
+            # suppress the band hard in the unreduced stack so component plots
+            # show the filtered reality rather than the raw resonance
+            skw = self._od_filter(skw, lam_axis_full, band, od=FILTER_SUPPRESSION_OD)
+        return lam_axis, reduced, skw
 
 
 # reference-name alias (generate_spectra.FitModel)
