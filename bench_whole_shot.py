@@ -65,6 +65,21 @@ def main():
     spec = get_filter_spec(config["parameters"], ts_params)
     diff0, static = partition(ts_params, spec)
 
+    # shard the lineout axis over all visible chips (v5e-8: 16 lineouts/chip);
+    # on the single tunneled chip this is a no-op and GSPMD elides it.
+    # NOTE: not validatable at these shapes on the 1-core dev box (XLA's CPU
+    # in-process collectives hard-kill after a 40 s rendezvous timeout when
+    # device threads time-slice long compute) — the sharded training step is
+    # proven bit-exact at tiny shapes by tests/test_parallel/test_sharding.py
+    # and __graft_entry__.dryrun_multichip instead.
+    if jax.device_count() > 1:
+        from tsadar_tpu.parallel import make_mesh, shard_batch, shard_params_batch_axis
+
+        mesh = make_mesh()
+        batch = shard_batch(batch, mesh)
+        diff0 = shard_params_batch_axis(diff0, mesh, n_lineouts)
+        static = shard_params_batch_axis(static, mesh, n_lineouts)
+
     def value_fn(dp):
         return loss_fn.__loss__(dp, static, batch)[0]
 
