@@ -141,37 +141,28 @@ def forward_pass(config):
                 td,
             )
         else:
+            def save_feature(axis, sim, lam_axis, name):
+                """One spectral feature: series overplot + npz + netCDF artifacts."""
+                axis.plot(lam_axis.squeeze().transpose(), sim.squeeze().transpose())
+                axis.set_title("Simulated Data", fontsize=14)
+                axis.set_ylabel("Amp (arb. units)")
+                axis.set_xlabel("Wavelength (nm)")
+                axis.grid()
+                if "series" in config:
+                    axis.legend([str(v) for v in series_vals])
+                np.savez(
+                    os.path.join(td, "binary", f"{name}_data.npz"),
+                    Sim=sim,
+                    series=np.asarray(series_vals, dtype=object),
+                    Wavelength=lam_axis[0],
+                )
+                _write_series_nc(os.path.join(td, "binary", f"{name}_data.nc"), sim, series_vals, lam_axis[0])
+
             fig, ax = plt.subplots(1, 2, figsize=(12, 6), tight_layout=True)
             if config["other"]["extraoptions"]["load_ele_spec"]:
-                ax[0].plot(lamAxisE.squeeze().transpose(), ThryE.squeeze().transpose())
-                ax[0].set_title("Simulated Data", fontsize=14)
-                ax[0].set_ylabel("Amp (arb. units)")
-                ax[0].set_xlabel("Wavelength (nm)")
-                ax[0].grid()
-                if "series" in config:
-                    ax[0].legend([str(v) for v in series_vals])
-                np.savez(
-                    os.path.join(td, "binary", "electron_data.npz"),
-                    Sim=ThryE,
-                    series=np.asarray(series_vals, dtype=object),
-                    Wavelength=lamAxisE[0],
-                )
-                _write_series_nc(os.path.join(td, "binary", "electron_data.nc"), ThryE, series_vals, lamAxisE[0])
+                save_feature(ax[0], ThryE, lamAxisE, "electron")
             if config["other"]["extraoptions"]["load_ion_spec"]:
-                ax[1].plot(lamAxisI.squeeze().transpose(), ThryI.squeeze().transpose())
-                ax[1].set_title("Simulated Data", fontsize=14)
-                ax[1].set_ylabel("Amp (arb. units)")
-                ax[1].set_xlabel("Wavelength (nm)")
-                ax[1].grid()
-                if "series" in config:
-                    ax[1].legend([str(v) for v in series_vals])
-                np.savez(
-                    os.path.join(td, "binary", "ion_data.npz"),
-                    Sim=ThryI,
-                    series=np.asarray(series_vals, dtype=object),
-                    Wavelength=lamAxisI[0],
-                )
-                _write_series_nc(os.path.join(td, "binary", "ion_data.nc"), ThryI, series_vals, lamAxisI[0])
+                save_feature(ax[1], ThryI, lamAxisI, "ion")
             fig.savefig(os.path.join(td, "plots", "simulated_data"), bbox_inches="tight")
             plt.close(fig)
 
