@@ -21,17 +21,31 @@ via custom_jvp.
 import jax
 from jax import numpy as jnp
 
-# Rybicki sampling parameters: error ~ exp(-(pi/(2h))^2) ~ 7e-18 for h = 0.25.
-# Odd multiples of h must cover |x - k h| <~ 7 for |x| <= 6.5 -> k in [-55, 55].
-_RYBICKI_H = 0.25
-_RYBICKI_K = jnp.arange(-55.0, 56.0, 2.0)  # odd integers
+# Rybicki sampling: D(x) = lim_{h->0} (1/sqrt(pi)) sum_{k odd} exp(-(x-kh)^2)/k,
+# discretization error ~ exp(-(pi/(2h))^2) ~ 5.5e-9 for h = 0.36 (ample for f32;
+# the f64 CPU path keeps its accuracy from the centered truncation below 3e-10).
+#
+# CENTERED form (one of Rybicki's own accelerations): write k = n0 + 2j with n0
+# the odd multiple of h nearest x, u = x - n0 h in [-h, h).  Then
+#   exp(-(x-kh)^2) = exp(-u^2) * B^j * exp(-4 h^2 j^2),  B = exp(4 h u),
+# so the sum needs only |j| <= J with (2J-1) h >~ 4.7 (J = 7), and the powers
+# B^j are cumulative multiplies — 3 exp evaluations per point instead of the
+# 56 of the naive sampling sum (the zprime sweep is one of the three VPU-bound
+# stages of the 1V hot loop; see CLAUDE.md).
+_RYBICKI_H = 0.36
+_RYBICKI_J = jnp.arange(-7.0, 8.0)  # j: 15 centered terms
+_RYBICKI_GAUSS = jnp.exp(-4.0 * _RYBICKI_H**2 * _RYBICKI_J**2)
 
 
 def _dawsn_rybicki(x):
-    # D(x) = lim_{h->0} (1/sqrt(pi)) sum_{k odd} exp(-(x - k h)^2) / k
-    kh = _RYBICKI_K * _RYBICKI_H
-    terms = jnp.exp(-((x[..., None] - kh) ** 2)) / _RYBICKI_K
-    return jnp.sum(terms, axis=-1) / jnp.sqrt(jnp.pi)
+    h = _RYBICKI_H
+    n0 = 2.0 * jnp.floor(x / (2.0 * h)) + 1.0  # odd, u = x - n0 h in [-h, h)
+    u = x - n0 * h
+    gauss = _RYBICKI_GAUSS.astype(x.dtype)
+    b_pow = jnp.exp(4.0 * h * u[..., None] * _RYBICKI_J.astype(x.dtype))
+    k = n0[..., None] + 2.0 * _RYBICKI_J.astype(x.dtype)
+    series = jnp.sum(gauss * b_pow / k, axis=-1)
+    return jnp.exp(-(u**2)) * series / jnp.sqrt(jnp.pi)
 
 
 def _dawsn_asymptotic(x):
