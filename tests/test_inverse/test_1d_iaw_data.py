@@ -34,6 +34,12 @@ def test_iaw_data(tmp_path):
         inputs = yaml.safe_load(fi)
     config = merge_configs(defaults, inputs)
     config["data"]["lineouts"].update({"start": 535, "end": 735, "skip": 100})
+    # exercise the uncertainty + refit machinery (off in every deck): Hessian
+    # sigmas for the 4 active params, and a forced warm-started refit of
+    # lineout 1 (threshold below any real loss; lineout 0 is skipped by design)
+    config["other"]["calc_sigmas"] = True
+    config["other"]["refit"] = True
+    config["other"]["refit_thresh"] = 1e-9
 
     os.environ["TSADAR_RUNS_DIR"] = str(tmp_path)
     mlflow.set_experiment("tsadar-tpu-tests")
@@ -57,3 +63,16 @@ def test_iaw_data(tmp_path):
     # pin it loosely but enough to catch sign/scale regressions
     assert_allclose(fit_results["ud_general"][:2], [-2.477, -0.987], rtol=2e-1, err_msg="ud")
     assert float(np.asarray(loss).ravel()[0]) < 1e-3
+
+    # sigma artifacts from the flat-Hessian path
+    import glob
+
+    sig_files = glob.glob(str(tmp_path / "**" / "sigmas.npz"), recursive=True)
+    assert sig_files, "calc_sigmas did not produce the sigma artifact set"
+    sig = np.load(sig_files[0], allow_pickle=True)["sigmas"]
+    assert sig.shape[0] == 2 and np.all(np.isfinite(sig))
+    # sigmas are sign-coded (negative marks a negative-curvature direction at
+    # the returned point, reference postprocess.py:188-251); the first lineout
+    # converges to a true local optimum, so its curvatures are all positive
+    assert np.all(sig[0] > 0), f"lineout 0 not at a local optimum: {sig}"
+    assert np.all(sig != 0)

@@ -35,6 +35,32 @@ def _init_params(config, previous_weights, batch_size=None, batch=True):
     return ThomsonParams.create(config["parameters"], bs, batch=batch, activate=True)
 
 
+def _slice_batch(all_data, rows):
+    """Model-facing batch dict for a set of lineout rows (1D spectypes)."""
+    return {
+        "e_data": all_data["e_data"][rows],
+        "e_amps": all_data["e_amps"][rows],
+        "i_data": all_data["i_data"][rows],
+        "i_amps": all_data["i_amps"][rows],
+        "noise_e": all_data["noiseE"][rows],
+        "noise_i": all_data["noiseI"][rows],
+    }
+
+
+def _angular_batch(all_data, sl, rot=False):
+    """ARTS batch for the resolution-unit window ``sl``: electron channels are
+    windowed (from the *_rot second shot when ``rot``); the ion channels are
+    shared between multiplexed shots and stay whole except the noise window."""
+    return {
+        "e_data": all_data["e_data_rot" if rot else "e_data"][sl, :],
+        "e_amps": all_data["e_amps_rot" if rot else "e_amps"][sl, :],
+        "noise_e": all_data["noiseE_rot" if rot else "noiseE"][sl, :],
+        "i_data": all_data["i_data"],
+        "i_amps": all_data["i_amps"],
+        "noise_i": all_data["noiseI"][sl, :],
+    }
+
+
 def _1d_scipy_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch: Dict) -> Tuple[float, Dict]:
     """Host scipy minimize with AD gradients (reference loops.py:20-56)."""
     import scipy.optimize as spopt
@@ -118,25 +144,12 @@ def one_d_loop(
     config: Dict, all_data: Dict, sa, batch_indices: np.ndarray, num_batches: int
 ) -> Tuple[List, float, LossFunction]:
     """Batched-lineout fitting loop (reference loops.py:98-164)."""
-    sample = {k: v[: config["optimizer"]["batch_size"]] for k, v in all_data.items()}
-    sample = {
-        "noise_e": all_data["noiseE"][: config["optimizer"]["batch_size"]],
-        "noise_i": all_data["noiseI"][: config["optimizer"]["batch_size"]],
-    } | sample
-    loss_fn = LossFunction(config, sa, sample)
+    loss_fn = LossFunction(config, sa, _slice_batch(all_data, slice(0, config["optimizer"]["batch_size"])))
 
     batch_indices = np.reshape(batch_indices, (-1, config["optimizer"]["batch_size"]))
     all_weights, overall_loss, previous_weights = [], 0.0, None
     for i_batch in range(num_batches):
-        inds = batch_indices[i_batch]
-        batch = {
-            "e_data": all_data["e_data"][inds],
-            "e_amps": all_data["e_amps"][inds],
-            "i_data": all_data["i_data"][inds],
-            "i_amps": all_data["i_amps"][inds],
-            "noise_e": all_data["noiseE"][inds],
-            "noise_i": all_data["noiseI"][inds],
-        }
+        batch = _slice_batch(all_data, batch_indices[i_batch])
 
         method = config["optimizer"]["method"]
         if method == "adam":
@@ -163,24 +176,9 @@ def angular_optax(config, all_data, sa):
     config["data"]["lineouts"]["start"] = int(config["data"]["lineouts"]["start"] / config["other"]["ang_res_unit"])
     config["data"]["lineouts"]["end"] = int(config["data"]["lineouts"]["end"] / config["other"]["ang_res_unit"])
     sl = slice(config["data"]["lineouts"]["start"], config["data"]["lineouts"]["end"])
-    batch1 = {
-        "e_data": all_data["e_data"][sl, :],
-        "e_amps": all_data["e_amps"][sl, :],
-        "i_data": all_data["i_data"],
-        "i_amps": all_data["i_amps"],
-        "noise_e": all_data["noiseE"][sl, :],
-        "noise_i": all_data["noiseI"][sl, :],
-    }
+    batch1 = _angular_batch(all_data, sl)
     if isinstance(config["data"]["shotnum"], list):
-        batch2 = {
-            "e_data": all_data["e_data_rot"][sl, :],
-            "e_amps": all_data["e_amps_rot"][sl, :],
-            "noise_e": all_data["noiseE_rot"][sl, :],
-            "i_data": all_data["i_data"],
-            "i_amps": all_data["i_amps"],
-            "noise_i": all_data["noiseI"][sl, :],
-        }
-        actual_data = {"b1": batch1, "b2": batch2}
+        actual_data = {"b1": batch1, "b2": _angular_batch(all_data, sl, rot=True)}
     else:
         actual_data = batch1
 
@@ -212,25 +210,24 @@ def angular_optax(config, all_data, sa):
     state_weights = {}
     best_weights = ts_params
     epoch_loss, best_loss = 0.0, 100.0
-    num_g_wait = num_b_wait = 0
+    stalled_epochs = rising_epochs = 0  # early stopping (reference loops.py:243-261)
     for i_epoch in range(start_epoch, config["optimizer"]["num_epochs"]):
         diff_params, opt_state, val = step(diff_params, opt_state)
         epoch_loss = float(val)
         if epoch_loss < best_loss:
-            if best_loss - epoch_loss < 1e-6:
-                best_loss = epoch_loss
-                best_weights = combine(diff_params, static_params)
-                num_g_wait += 1
-                if num_g_wait > 5:
+            improvement = best_loss - epoch_loss
+            best_loss = epoch_loss
+            best_weights = combine(diff_params, static_params)
+            if improvement < 1e-6:
+                stalled_epochs += 1
+                if stalled_epochs > 5:
                     print("Minimizer exited due to change in loss < 1e-6")
                     break
             else:
-                best_loss = epoch_loss
-                best_weights = combine(diff_params, static_params)
-                num_b_wait = num_g_wait = 0
+                stalled_epochs = rising_epochs = 0
         elif epoch_loss > best_loss:
-            num_b_wait += 1
-            if num_b_wait > 5:
+            rising_epochs += 1
+            if rising_epochs > 5:
                 print("Minimizer exited due to increase in loss")
                 break
 
