@@ -108,10 +108,15 @@ def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch:
 
 
 def _1d_device_lbfgs_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch: Dict):
-    """Device-resident L-BFGS: one jitted step, no host synchronization.
+    """Device-resident L-BFGS: jitted steps, no per-iteration scipy round trip.
 
-    Replaces the scipy L-BFGS-B host round trip (SURVEY.md §7 hard parts) with
-    optax.lbfgs + zoom linesearch running entirely on device.
+    Replaces the scipy L-BFGS-B host loop (SURVEY.md §7 hard parts) with
+    optax.lbfgs running entirely on device.  The linesearch is backend-gated:
+    zoom (reference-quality) on CPU; backtracking on TPU, because zoom's
+    nested while_loops fault the axon runtime (CLAUDE.md) while the
+    single-level backtracking search runs fine.  One jitted step + a Python
+    loop rather than a scanned multi-step program — the remote TPU compiler
+    takes minutes for long scans but ~30 s for one step.
     """
     ts_params = _init_params(config, previous_weights)
     diff_params, static_params = partition(ts_params, get_filter_spec(config["parameters"], ts_params))
@@ -119,25 +124,25 @@ def _1d_device_lbfgs_loop_(config: Dict, loss_fn: LossFunction, previous_weights
     def value_fn(dp):
         return loss_fn.__loss__(dp, static_params, batch)[0]
 
-    opt = optax.lbfgs()
+    if jax.default_backend() == "tpu":
+        linesearch = optax.scale_by_backtracking_linesearch(max_backtracking_steps=12, store_grad=True)
+        opt = optax.lbfgs(linesearch=linesearch)
+    else:
+        opt = optax.lbfgs()
     value_and_grad = optax.value_and_grad_from_state(value_fn)
 
-    def step(carry, _):
-        dp, state = carry
+    @jax.jit
+    def step(dp, state):
         value, grad = value_and_grad(dp, state=state)
         updates, state = opt.update(grad, state, dp, value=value, grad=grad, value_fn=value_fn)
         dp = optax.apply_updates(dp, updates)
-        return (dp, state), value
+        return dp, state, value
 
-    @jax.jit
-    def run(dp):
-        state = opt.init(dp)
-        (dp, state), values = jax.lax.scan(step, (dp, state), None, length=config["optimizer"]["num_epochs"])
-        return dp, values
-
-    diff_params, values = run(diff_params)
-    best_loss = float(values[-1])
-    return best_loss, combine(diff_params, static_params)
+    state = opt.init(diff_params)
+    value = np.inf
+    for _ in range(config["optimizer"]["num_epochs"]):
+        diff_params, state, value = step(diff_params, state)
+    return float(value), combine(diff_params, static_params)
 
 
 def one_d_loop(
