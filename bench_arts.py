@@ -58,16 +58,23 @@ def main():
     ts_diag = ThomsonScatteringDiagnostic(config, scattering_angles=sas, mode_2v="table")
     ts_params = ThomsonParams.create(config["parameters"], num_params=1, batch=False, activate=True)
 
+    def best_of(fn, *args, windows=3, iters=5):
+        # the shared chip shows ±25% contention spread; report the best window
+        best = float("inf")
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+        return best
+
     fwd = jax.jit(lambda p, b: ts_diag(p, b)[0])
     t0 = time.time()
     out = fwd(ts_params, batch)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = fwd(ts_params, batch)
-    jax.block_until_ready(out)
-    fwd_ms = (time.perf_counter() - t0) / 5 * 1e3
+    fwd_ms = best_of(fwd, ts_params, batch)
 
     target = np.asarray(out)
     spec = get_filter_spec(config["parameters"], ts_params)
@@ -82,11 +89,7 @@ def main():
     o = vg(diff)
     jax.block_until_ready(o[0])
     vg_compile_s = time.time() - t0
-    t0 = time.perf_counter()
-    for _ in range(5):
-        o = vg(diff)
-    jax.block_until_ready(o[0])
-    vg_ms = (time.perf_counter() - t0) / 5 * 1e3
+    vg_ms = best_of(lambda d: vg(d)[0], diff)
 
     print(
         json.dumps(
