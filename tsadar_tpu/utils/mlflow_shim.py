@@ -41,6 +41,21 @@ class _Run:
         self.info = type("info", (), {"run_id": run_id})()
 
 
+def _find_run_dir(run_id):
+    """Locate an existing ``<experiment>/<name>-<run_id>`` dir across experiments."""
+    root = _root()
+    if not os.path.isdir(root):
+        return None
+    for experiment in sorted(os.listdir(root)):
+        exp_dir = os.path.join(root, experiment)
+        if not os.path.isdir(exp_dir):
+            continue
+        for name in sorted(os.listdir(exp_dir)):
+            if name == run_id or name.endswith(f"-{run_id}"):
+                return os.path.join(exp_dir, name)
+    return None
+
+
 @contextlib.contextmanager
 def start_run(run_name=None, run_id=None, nested=False, log_system_metrics=False, **kw):
     if HAVE_MLFLOW:
@@ -50,10 +65,22 @@ def start_run(run_name=None, run_id=None, nested=False, log_system_metrics=False
             yield run
         return
     rid = run_id or uuid.uuid4().hex[:16]
-    run_dir = os.path.join(_root(), _state["experiment"], f"{run_name or 'run'}-{rid}")
+    # resuming by id (run_job / run_for_app) must reattach to the original run
+    # directory and its recorded state, as real MLflow does
+    run_dir = _find_run_dir(rid) if run_id else None
+    state = {"metrics": {}, "params": {}, "tags": {}}
+    if run_dir is None:
+        run_dir = os.path.join(_root(), _state["experiment"], f"{run_name or 'run'}-{rid}")
+    else:
+        try:
+            with open(os.path.join(run_dir, "run.json")) as f:
+                prior = json.load(f)
+            state = {k: prior.get(k, {}) for k in ("metrics", "params", "tags")}
+        except (OSError, ValueError):
+            pass
     os.makedirs(os.path.join(run_dir, "artifacts"), exist_ok=True)
     prev = _state["run_dir"]
-    _state.update(run_dir=run_dir, metrics={}, params={}, tags={})
+    _state.update(run_dir=run_dir, **state)
     try:
         yield _Run(run_dir, rid)
     finally:
