@@ -34,6 +34,8 @@ def test_imaging_data(tmp_path):
     config["data"]["shotnum"] = 112059  # EPW_CCD imaging shot
     config["data"]["lineouts"].update({"type": "pixel", "start": 500, "end": 510, "skip": 5})
     config["optimizer"].update({"method": "adam", "num_epochs": 30, "batch_size": 2})
+    # exercise the spectrum_breakdown path (per-component + IRF-only spectra)
+    config.setdefault("plotting", {})["detailed_breakdown"] = True
 
     os.environ["TSADAR_RUNS_DIR"] = str(tmp_path)
     mlflow.set_experiment("tsadar-tpu-tests")
@@ -60,3 +62,5 @@ def test_imaging_data(tmp_path):
     assert "ele_fit_and_data.nc" in artifacts
     assert "ele_fit_and_data.npz" in artifacts
     assert "learned_parameters.csv" in artifacts
+    # component-breakdown figures from the spectrum_breakdown path
+    assert any(a.startswith("breakdown_ele_lineout") for a in artifacts), sorted(artifacts)

@@ -219,8 +219,67 @@ def model_v_actual(config, all_data, all_axes, fits, losses, red_losses, sqdevs,
             plt.close(fig)
 
 
+def _component_slices(comps_by_batch, lineout):
+    """The stored [B, G, L, A] component stack row for a global lineout index."""
+    for inds, stack in comps_by_batch.items():
+        if lineout in inds:
+            return np.asarray(stack)[list(inds).index(lineout)]
+    return None
+
+
 def detailed_lineouts(config, all_data, all_axes, fits, losses, red_losses, sqdevs, td):
+    """Best/worst lineouts plus, when the detailed breakdown ran, per-component
+    figures: data, total fit, gradient/angle component slices, IRF-only
+    spectrum, and a chi^2-per-point residual panel (reference plotters.py:713-933)."""
     model_v_actual(config, all_data, all_axes, fits, losses, red_losses, sqdevs, td)
+
+    losses = np.asarray(losses).ravel()
+    order = np.argsort(losses)
+    picks = list(dict.fromkeys(np.concatenate([order[:2], order[-2:]])))
+    for species, dkey in (("ele", "e_data"), ("ion", "i_data")):
+        comps = fits[species].get("spec_comps")
+        if not comps:
+            continue
+        data = np.atleast_2d(np.asarray(all_data[dkey]))
+        total = np.atleast_2d(np.asarray(fits[species]["total_spec"]))
+        raw_axis = fits[species].get("detailed_axis")
+        for lineout in picks:
+            stack = _component_slices(comps, int(lineout))
+            if stack is None or data.size <= 1 or data.shape[0] <= lineout:
+                continue
+            fig, (ax_top, ax_res) = plt.subplots(
+                2, 1, figsize=(8, 6), tight_layout=True, sharex=False, height_ratios=[3, 1]
+            )
+            ax_top.plot(data[lineout], label="data", color="k", lw=1)
+            ax_top.plot(total[lineout], label="total fit")
+            if raw_axis is not None:
+                raw_axis = np.asarray(raw_axis)
+                if raw_axis.ndim > 1:  # batched models squeeze to [B, L]
+                    raw_axis = raw_axis.reshape(-1, raw_axis.shape[-1])[0]
+            if raw_axis is not None and stack.ndim == 3 and stack.shape[1] == raw_axis.size:
+                # stack is [G, L, A] on the raw model axis; a second x-axis
+                # keeps the pre-IRF components honest next to the pixel data
+                ax_comp = ax_top.twiny()
+                ax_comp.plot(raw_axis, stack[0, :, 0], ls="--", alpha=0.7, label="first grad/angle")
+                ax_comp.plot(raw_axis, stack[-1, :, 0], ls="--", alpha=0.7, label="last grad")
+                ax_comp.plot(raw_axis, stack[0, :, -1], ls="--", alpha=0.7, label="last angle")
+                ax_comp.set_xlabel("Wavelength (nm)")
+                ax_comp.legend(loc="upper left", fontsize=8)
+            irf = fits[species].get("IRF")
+            if irf is not None:
+                ax_top.plot(np.atleast_2d(irf)[lineout], label="IRF", alpha=0.7)
+            ax_top.set_title(f"{species} lineout {lineout}, loss={losses[lineout]:.2e}")
+            ax_top.set_ylabel("Amp (arb. units)")
+            ax_top.legend(loc="upper right", fontsize=8)
+            ax_top.grid()
+            ax_res.plot(np.atleast_2d(np.asarray(sqdevs[species]))[lineout])
+            ax_res.set_ylabel(r"$\chi_i^2$")
+            ax_res.set_xlabel("pixel")
+            fig.savefig(
+                os.path.join(td, "plots", f"breakdown_{species}_lineout{lineout}.png"),
+                bbox_inches="tight",
+            )
+            plt.close(fig)
 
 
 def save_sigmas_params(config, all_params, sigmas, all_axes, td):

@@ -117,6 +117,9 @@ def recalculate_with_chosen_weights(
                     icomps[tuple(inds)] = np.asarray(ThryI_c)
                     fits["ion"].setdefault("IRF", np.zeros(i_shape))
                     assign(fits["ion"]["IRF"], inds, iIRF)
+                    # raw model axes: components live on the pre-IRF grid
+                    fits["ele"]["detailed_axis"] = np.squeeze(np.asarray(lamE_raw))
+                    fits["ion"]["detailed_axis"] = np.squeeze(np.asarray(lamI_raw))
                 except Exception as e:
                     print(f"detailed breakdown failed ({e}); continuing")
 
@@ -278,7 +281,7 @@ def process_data(config, sample_indices, all_data, all_axes, loss_fn, fitted_wei
     final_params = plotters.get_final_params(config, all_params, all_axes, td)
     red_losses = plotters.plot_loss_hist(config, losses_init, losses, 1.0, td)
     plotters.plot_ts_data(config, fits, all_data, all_axes, td)
-    plotters.model_v_actual(config, all_data, all_axes, fits, losses, red_losses, sqdevs, td)
+    plotters.detailed_lineouts(config, all_data, all_axes, fits, losses, red_losses, sqdevs, td)
     sigma_ds = plotters.save_sigmas_params(config, all_params, sigmas, all_axes, td)
     plotters.plot_final_params(config, all_params, sigma_ds, td)
     return t1, final_params
