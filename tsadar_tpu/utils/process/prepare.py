@@ -191,6 +191,13 @@ def prepare_data(config: Dict, shotNum: int):
             config["data"]["ele_t0"], config["data"]["ion_t0_shift"], xlab, sa, config,
         )
 
+    # raw-data overview with lineout/fit-window overlays, logged as artifacts
+    # (reference prepare.py:196-197; not interactive)
+    if config["data"].get("launch_data_visualizer", False):
+        from ..data_handling.data_visualizer import launch_data_visualizer
+
+        launch_data_visualizer(elecData, ionData, all_axes, config)
+
     config["other"]["PhysParams"]["widIRF"] = stddev
     config["other"]["lamrangE"] = [axisyE[0], axisyE[-1]]
     config["other"]["lamrangI"] = [axisyI[0], axisyI[-1]]
