@@ -66,3 +66,16 @@ def test_data_visualizer_writes_overlay_images(tmp_path, monkeypatch):
         artifacts = os.path.join(run.run_dir, "artifacts")
     names = set(os.listdir(artifacts))
     assert "electron_raw_data.png" in names and "ion_raw_data.png" in names
+
+
+def test_save_sigmas_fe_writes_nc_and_npz(tmp_path):
+    from tsadar_tpu.utils.plotting.plotters import save_sigmas_fe
+    from tsadar_tpu.utils.ncwriter import read_dataset
+
+    os.makedirs(tmp_path / "binary")
+    sig = np.abs(np.random.default_rng(0).standard_normal(64))
+    out = save_sigmas_fe({}, None, sig, str(tmp_path))
+    assert out.shape == (64,)
+    assert (tmp_path / "binary" / "sigmas_fe.npz").exists()
+    variables, coords = read_dataset(str(tmp_path / "binary" / "sigma-fe.nc"))
+    np.testing.assert_allclose(np.asarray(variables["sigma_fe"], np.float64), sig, rtol=1e-6)

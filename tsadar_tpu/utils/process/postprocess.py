@@ -296,6 +296,10 @@ def process_angular_data(config, batch_indices, all_data, all_axes, loss_fn, fit
     t1 = time.time()
 
     final_params = plotters.get_final_params(config, all_params, all_axes, td)
-    plotters.plot_data_angular(config, fits, all_data, all_axes, td)
-    plotters.plot_dist(config, "electron", final_params, np.zeros_like(final_params.get("fe", np.zeros(1))), td)
+    savedata = plotters.plot_data_angular(config, fits, all_data, all_axes, td)
+    plotters.plot_ang_lineouts(num_params, sqdevs, losses, all_params, all_axes, savedata, td)
+    sigma_fe = np.zeros_like(final_params.get("fe", np.zeros(1)))
+    if config["other"]["calc_sigmas"]:
+        sigma_fe = plotters.save_sigmas_fe(final_params, None, sigmas, td)
+    plotters.plot_dist(config, "electron", final_params, sigma_fe, td)
     return t1, final_params
