@@ -99,3 +99,30 @@ def test_run_for_app_fits_from_artifact_data(tmp_path, monkeypatch):
 
     meta = json.loads(run_dirs[0].read_text())
     assert meta["tags"]["status"] == "completed"
+
+
+@pytest.mark.slow
+def test_sequential_warm_start_across_batches(tmp_path, monkeypatch):
+    """optimizer.sequential warm-starts each batch from the previous one
+    (reference loops.py:156-162); 4 lineouts / batch 2 -> two batches."""
+    monkeypatch.setenv("TSADAR_RUNS_DIR", str(tmp_path / "runs"))
+    defaults, inputs = _small_decks()
+    defaults["data"]["lineouts"].update({"start": 500, "end": 508, "skip": 2})
+    defaults["optimizer"]["sequential"] = True
+
+    from tsadar_tpu.inverse import fitter
+    from tsadar_tpu.utils.config import merge_configs
+
+    config = merge_configs(defaults, inputs)
+    mlflow.set_experiment("seq-test")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        with mlflow.start_run(run_name="seq"):
+            fit_results, loss = fitter.fit(config=config)
+    finally:
+        os.chdir(cwd)
+    assert np.isfinite(float(np.asarray(loss).ravel()[0]))
+    # all four lineouts produced physical values
+    te = np.asarray(fit_results["Te_electron"]).ravel()
+    assert te.shape[0] == 4 and np.all((te > 0.01) & (te < 1.5))
