@@ -163,6 +163,29 @@ def measure(batch_size=BATCH, iters=ITERS, want_flops=False, repeats=3):
     return batch_size * iters / dt, dt / iters, flops
 
 
+def _fit_step_ms(batch_size=BATCH, repeats=3, iters=5):
+    """ms per loss+gradient evaluation at the bench batch (fwd+bwd)."""
+    import jax
+
+    from tsadar_tpu.core.params import get_filter_spec, partition
+    from tsadar_tpu.inverse.loss import LossFunction
+
+    _, ts_params, batch, cfg, sas = _fwd_1d(batch_size)
+    loss_fn = LossFunction(cfg, sas, batch)
+    diff, static = partition(ts_params, get_filter_spec(cfg["parameters"], ts_params))
+    vg = jax.jit(jax.value_and_grad(loss_fn.__loss__, has_aux=True))
+    out = vg(diff, static, batch)
+    jax.block_until_ready(out[0][0])
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = vg(diff, static, batch)
+        jax.block_until_ready(out[0][0])
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
 def _run_cpu_subprocess():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -236,12 +259,23 @@ def main():
     value, sec_per_iter, xla_flops = measure(want_flops=True)
     baseline, useful_flops, golden = _cpu_artifacts()
 
+    # context: one optimizer iteration (loss + grad) over the same batch
+    fit_ms = None
+    try:
+        fit_ms = _fit_step_ms()
+    except Exception:
+        pass
+
     result = {
         "metric": "forward lineout-spectra/sec (1k-lambda grid, batched diagnostic)",
         "value": round(value, 2),
         "unit": "spectra/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
     }
+
+    if fit_ms:
+        result["fit_step_ms"] = round(fit_ms, 2)
+        result["fit_spectra_per_sec"] = round(BATCH / fit_ms * 1e3, 2)
 
     if xla_flops:
         tflops_xla = xla_flops / sec_per_iter / 1e12
