@@ -11,20 +11,22 @@ positions, goldens check self-consistency — so a dropped 2π, vTe, or Jacobian
 factor anywhere in the assembly (form_factor.py ``_assemble_spectrum``) fails
 here and nowhere else.
 
-The electron-feature integral matches its term to ~1% (0.2% against a direct
-scipy-wofz textbook evaluation).  The ion feature carries a looser envelope:
-measured decompositions (resolution-converged, checked at 4x npts) are
+This oracle CAUGHT A REAL PHYSICS BUG inherited from the reference: the
+electron-Landau term chi_I carried a flipped sign (anti-damping), invisible in
+every EPW-based gate but inflating the ion feature ~12-16% where Im chi_e and
+Im chi_i must add.  With the fix (form_factor.py chiEI), measured margins
+(resolution-converged, checked at 4x npts):
 
-    Te/Ti=1, α=2.27:  ele +4.9%, ion +2.3%, total +3.1% of Salpeter
+    Te/Ti=1, α=2.27:  ele +4.8%, ion −1.7%, total +0.2% of Salpeter
                       (equilibrium exact S(k) = (1+α²)/(1+2α²) ≈ Salpeter here)
-    Te/Ti=2, α=3.03:  ele +0.3%, ion +12% of Salpeter — of which ~4% is
-                      Salpeter's own approximation (direct wofz evaluation of
-                      the same window gives +7.7%) and the rest the χ-table
-                      quadrature across the narrow resonance (h1=1024 grid,
-                      the resolution the reference golden pins).
+    Te/Ti=2, α=3.03:  ele +0.3%, ion +4.0% of Salpeter — of which +3.4% is
+                      Salpeter's own approximation error (a direct wofz
+                      evaluation of the same window sits +3.4% above Salpeter,
+                      so the implementation is within ~0.6% of exact).
 
-The tolerances bracket that envelope; a dropped constant factor (2π, vTe, Z)
-is orders of magnitude outside them.
+The ele split tolerance also absorbs the broad-feature window leakage at
+Te/Ti=1.  A dropped constant factor (2π, vTe, Z) is orders of magnitude
+outside these tolerances.
 """
 
 import numpy as np
@@ -98,9 +100,9 @@ def _params(Te, ne, Ti, Z, A):
     [
         # Te/Ti = 1: the heavily Landau-damped ion feature spreads far past the
         # central window, so only the total is a clean observable here
-        (0.5, 0.2, 0.5, 1.0, 1.0, 60.0, 5e-2, False),
+        (0.5, 0.2, 0.5, 1.0, 1.0, 60.0, 2e-2, False),
         # Te/Ti = 2: the ion feature is compact; electron and ion terms split
-        (0.6, 0.25, 0.3, 1.0, 1.0, 45.0, 1.2e-1, True),
+        (0.6, 0.25, 0.3, 1.0, 1.0, 45.0, 5e-2, True),
     ],
 )
 def test_salpeter_sum_rule(Te, ne, Ti, Z, A, angle, total_rtol, check_split):
@@ -129,4 +131,4 @@ def test_salpeter_sum_rule(Te, ne, Ti, Z, A, angle, total_rtol, check_split):
     np.testing.assert_allclose(ele_integral + ion_integral, ele_term + ion_term, rtol=total_rtol)
     if check_split:
         np.testing.assert_allclose(ele_integral, ele_term, rtol=3e-2)
-        np.testing.assert_allclose(ion_integral, ion_term, rtol=1.5e-1)
+        np.testing.assert_allclose(ion_integral, ion_term, rtol=8e-2)

@@ -239,7 +239,17 @@ class FormFactor:
 
         df = jnp.diff(fe_vphi, 1, axis=1) / jnp.diff(xie, 1, axis=1)
         df = jnp.concatenate([df, jnp.zeros_like(df[:, :1, :])], axis=1)
-        chiEI = 1j * jnp.pi / (klde**2) * df
+        # electron Landau term: chi_I = -(pi/k^2 lDe^2) f'(xie).  The MINUS sign
+        # follows from the same retarded dispersion integral that defines the
+        # PV real part above (1/(xi' - xi - i0) = P + i pi delta), is required
+        # by Kramers-Kronig consistency with chiERrat, and matches the exact
+        # Maxwellian Z-function susceptibility (validated against scipy.wofz).
+        # DOCUMENTED DEVIATION: the reference uses +pi (form_factor.py:261),
+        # i.e. electron Landau ANTI-damping — invisible in the EPW feature
+        # (|Im eps| = |chi_I^e| there) but inflating the ion feature ~10-16%
+        # where Im chi_e and Im chi_i must add, which the Salpeter sum-rule
+        # test catches (tests/test_physics/test_sum_rule.py).
+        chiEI = -1j * jnp.pi / (klde**2) * df
 
         ratmod = jnp.exp(interp1d_cubic_matmul(self.xi1, vx, log_fe, extrap=(-50.0, -50.0)))
         ratdf = jnp.gradient(ratmod, self.dxi1)
@@ -403,7 +413,8 @@ class FormFactor:
         fe_vphi = jnp.interp(xie_mag_at, vx, fe_1d)
         dfe = jnp.interp(xie_mag_at, vx, df)
 
-        chiEI = jnp.pi / (klde_mag_at**2) * dfe
+        # Landau sign: see the 1V chiEI comment (KK-consistent minus)
+        chiEI = -jnp.pi / (klde_mag_at**2) * dfe
         chiERrat = -1.0 / (klde_mag_at**2) * ratint.pv_integral(df, vx, xie_mag_at[None])[0]
         return fe_vphi, chiEI, chiERrat
 
@@ -521,7 +532,8 @@ class FormFactor:
             dfe = self._interp_beta_v(df1d, vx[0], dvx, beta, xie_mag)
             chiR_raw = self._interp_beta_v(chiR_tab, pole_grid[0], dpole, beta, xie_mag)
 
-        chiEI = jnp.pi / (klde_mag**2) * dfe
+        # Landau sign: see the 1V chiEI comment (KK-consistent minus)
+        chiEI = -jnp.pi / (klde_mag**2) * dfe
         chiERrat = -1.0 / (klde_mag**2) * chiR_raw
         return fe_vphi, chiEI, chiERrat
 
