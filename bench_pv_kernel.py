@@ -68,18 +68,27 @@ def main():
     def matmul_tables(fb):
         return ratint.pv_tables_matmul(fb, kmid, knode)
 
-    # agreement check on-chip
+    # accuracy vs host-f64 truth (single matmul against the combined kernels;
+    # verified equal to the two-stage form at 1e-14 in tests/test_ratint).
+    # NOTE: at DEFAULT matmul precision the two-stage Toeplitz form is
+    # catastrophically ill-conditioned (it multiplies idx in [0,1022) weights
+    # in bf16) — that is the point of the precombined form the model uses.
+    f64 = np.asarray(f, np.float64)
+    mid_true = f64 @ ratint.pv_combined_kernel_np(N - 2, 0.0)
+    node_true = (f64 @ ratint.pv_combined_kernel_np(N - 2, 0.5))[:, : N - 3]
+
+    def err_vs_truth(mid, node):
+        return max(
+            float(np.max(np.abs(np.asarray(mid, np.float64) - mid_true)) / np.max(np.abs(mid_true))),
+            float(np.max(np.abs(np.asarray(node, np.float64) - node_true)) / np.max(np.abs(node_true))),
+        )
+
     mx, nx = jax.jit(xla_tables)(f)
     mp, npl = jax.jit(pallas_tables)(f)
     mm, nm = jax.jit(matmul_tables)(f)
-    err = max(
-        float(jnp.max(jnp.abs(mx - mp)) / jnp.max(jnp.abs(mx))),
-        float(jnp.max(jnp.abs(nx - npl)) / jnp.max(jnp.abs(nx))),
-    )
-    err_mm = max(
-        float(jnp.max(jnp.abs(mx - mm)) / jnp.max(jnp.abs(mx))),
-        float(jnp.max(jnp.abs(nx - nm)) / jnp.max(jnp.abs(nx))),
-    )
+    err_xla = err_vs_truth(mx, nx)
+    err_pallas = err_vs_truth(mp, npl)
+    err_matmul = err_vs_truth(mm, nm)
 
     ms_xla = _timeit(xla_tables, f)
     ms_pallas = _timeit(pallas_tables, f)
@@ -104,8 +113,9 @@ def main():
             {
                 "backend": jax.default_backend(),
                 "shape": [B, N],
-                "rel_err_pallas": float(f"{err:.3g}"),
-                "rel_err_matmul": float(f"{err_mm:.3g}"),
+                "err_vs_f64_xla2stage": float(f"{err_xla:.3g}"),
+                "err_vs_f64_pallas": float(f"{err_pallas:.3g}"),
+                "err_vs_f64_matmul": float(f"{err_matmul:.3g}"),
                 "ms_xla_fwd": round(ms_xla, 3),
                 "ms_pallas_fwd": round(ms_pallas, 3),
                 "ms_matmul_fwd": round(ms_matmul, 3),

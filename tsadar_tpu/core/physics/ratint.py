@@ -197,6 +197,12 @@ def pv_combined_kernel(n_intervals, delta):
     conditioning — W ≈ O(1/(p-i)²) because d·L(d) → 1, where the two-stage
     form multiplies the unbounded index weights idx ∈ [0, M) explicitly.
     """
+    return jnp.asarray(pv_combined_kernel_np(n_intervals, delta))
+
+
+def pv_combined_kernel_np(n_intervals, delta):
+    """Host-f64 numpy form of ``pv_combined_kernel`` (also the truth oracle for
+    on-chip accuracy checks — the jnp conversion truncates to f32 on TPU)."""
     m = n_intervals
     # build T in pure numpy (same formulas as pv_toeplitz_kernel/pv_node_kernel;
     # a jnp round trip would fail under an active trace — 2V builds this inside jit)
@@ -214,7 +220,7 @@ def pv_combined_kernel(n_intervals, delta):
     K = _np.zeros((m + 2, m))
     K[:m] += 0.5 * T.T - W.T  # node j as the left end of interval i = j
     K[1 : m + 1] += 0.5 * T.T + W.T  # node j as the right end of interval i = j - 1
-    return jnp.asarray(K)
+    return K
 
 
 def pv_combined_kernels(n_intervals):
