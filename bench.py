@@ -237,8 +237,15 @@ def _cpu_main():
     jax.config.update("jax_enable_x64", True)  # reference precision
     value, _, flops = measure(batch_size=8, iters=3)
     # algorithmic FLOPs: the CPU lowering keeps gathers (no one-hot overhead),
-    # so its cost analysis is the honest per-spectrum work estimate
-    _, _, useful_flops = measure(batch_size=BATCH, iters=1, want_flops=True)
+    # so its cost analysis is the honest per-spectrum work estimate.  Static —
+    # read it off the compiled program without executing the B=512 f64 forward.
+    fwd, ts_params, batch, _, _ = _fwd_1d(BATCH)
+    try:
+        ca = fwd.lower(ts_params, batch).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        useful_flops = float(ca.get("flops"))
+    except Exception:
+        useful_flops = None
     golden = _gate_values()
     np.savez(GOLDEN_CACHE, **golden)
     with open(BASELINE_CACHE, "w") as f:

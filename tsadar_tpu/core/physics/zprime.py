@@ -33,8 +33,12 @@ from jax import numpy as jnp
 # 56 of the naive sampling sum (the zprime sweep is one of the three VPU-bound
 # stages of the 1V hot loop; see CLAUDE.md).
 _RYBICKI_H = 0.36
-_RYBICKI_J = jnp.arange(-7.0, 8.0)  # j: 15 centered terms
-_RYBICKI_GAUSS = jnp.exp(-4.0 * _RYBICKI_H**2 * _RYBICKI_J**2)
+# constants in host numpy f64: a jnp.exp at import time would pin their
+# precision to the x64 flag at import rather than the caller's dtype
+import numpy as _np
+
+_RYBICKI_J = _np.arange(-7.0, 8.0)  # j: 15 centered terms
+_RYBICKI_GAUSS = _np.exp(-4.0 * _RYBICKI_H**2 * _RYBICKI_J**2)
 
 
 def _dawsn_rybicki(x):

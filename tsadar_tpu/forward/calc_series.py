@@ -34,8 +34,11 @@ def _write_series_nc(path, sim, series_vals, lam_axis):
     sweeps pass lists) fall back to an index coordinate."""
     sim = np.atleast_2d(np.squeeze(np.asarray(sim)))
     try:
-        coord = np.asarray(series_vals, float).reshape(-1)[: sim.shape[0]]
-        if coord.size != sim.shape[0]:
+        coord = np.asarray(series_vals, float)
+        # multi-species sweeps pass per-entry LISTS (e.g. Z: [[1,2],[3,4]]);
+        # a flattened rectangular array would silently mislabel the axis, so
+        # anything non-1D falls back to the index coordinate
+        if coord.ndim != 1 or coord.size != sim.shape[0]:
             raise ValueError
     except (TypeError, ValueError):
         coord = np.arange(sim.shape[0], dtype=float)

@@ -76,7 +76,7 @@ def _export_run_dir(run_id, out_dir):
         }
         artifact_src = _mlflow.artifacts.download_artifacts(run_id=run_id)
     else:
-        run_dir = _find_file_backend_run(run_id)
+        run_dir = mlflow._find_run_dir(run_id)
         if run_dir is None:
             raise FileNotFoundError(f"run {run_id} not found under the file-backed tracker")
         with open(os.path.join(run_dir, "run.json")) as fi:
@@ -87,21 +87,6 @@ def _export_run_dir(run_id, out_dir):
         json.dump(info, fi, indent=1, default=str)
     if os.path.isdir(artifact_src):
         shutil.copytree(artifact_src, os.path.join(out_dir, "artifacts"), dirs_exist_ok=True)
-
-
-def _find_file_backend_run(run_id):
-    """Locate ``<runs_root>/<experiment>/<name>-<run_id>/`` for the file tracker."""
-    root = os.environ.get("TSADAR_RUNS_DIR", os.path.join(os.getcwd(), "tsadar_runs"))
-    if not os.path.isdir(root):
-        return None
-    for experiment in sorted(os.listdir(root)):
-        exp_dir = os.path.join(root, experiment)
-        if not os.path.isdir(exp_dir):
-            continue
-        for name in sorted(os.listdir(exp_dir)):
-            if name == run_id or name.endswith(f"-{run_id}"):
-                return os.path.join(exp_dir, name)
-    return None
 
 
 def export_run(run_id, prefix="ingest", step=0, bucket=DEFAULT_BUCKET):

@@ -204,7 +204,19 @@ def get_lineout_bg(
     ccd_shape = tuple(config["other"]["CCDsize"])
 
     if opts["load_ele_spec"]:
-        if bg_type == "fit" and opts["spectype"] != "angular":
+        if bg_type == "fit" and opts["spectype"] == "angular":
+            # per-lineout 'Fit' backgrounds only exist for streaked/imaging
+            # data; angular 'Fit' is handled at the shot level (get_shot_bg)
+            # with range-type lineouts.  This combination (angular + pixel
+            # lineouts + 'Fit') is dead upstream too (the reference falls into
+            # the pixel path with no background pixel and crashes); fail with
+            # a name instead.
+            raise ValueError(
+                "background type 'Fit' with angular spectra requires lineout type "
+                "'range' (shot-level background); per-lineout 'Fit' backgrounds "
+                "are not defined for angular data"
+            )
+        if bg_type == "fit":
             lineout_bg = _edge_fit_backgrounds(config, LineoutTSE_smooth)
         else:
             lineout_bg = _pixel_backgrounds_ele(

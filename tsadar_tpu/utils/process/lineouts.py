@@ -92,8 +92,13 @@ def get_lineouts(
         e_smooth = _box_smooth_rows(_band_sums(elecData, px_e, half), span)
         if opts["spectype"] == "angular":
             # ARTS: aperture weights follow the same column bands as the data.
+            # Edge lineouts get partial bands (slice-truncation semantics, like
+            # _band_sums): average over the in-range rows only.
             windows = px_e[:, None] + np.arange(-half, half)
-            sa["weights"] = sa["weights"][windows, :].mean(axis=1)[:, None, :]
+            inside = (windows >= 0) & (windows < sa["weights"].shape[0])
+            rows = sa["weights"][np.clip(windows, 0, sa["weights"].shape[0] - 1), :]
+            counts = np.maximum(inside.sum(axis=1), 1)[:, None]
+            sa["weights"] = ((rows * inside[..., None]).sum(axis=1) / counts)[:, None, :]
         else:
             sa["weights"] = sa["weights"] * np.ones([len(px_e), len(sa["sa"])])
 

@@ -28,12 +28,18 @@ _ZERO_COUNT_OFFSET = 0.1
 
 
 def _custom_data_dir(data_cfg):
-    """Directory holding user-supplied shot files, if the deck names any."""
+    """Directory holding user-supplied shot files, if the deck names any.
+
+    When both channels name files, the iaw entry's directory wins (reference
+    prepare.py:32-38 sequential assignment — last writer wins); in practice
+    run_for_app stages both files in the same artifacts directory.
+    """
     names = data_cfg.get("filenames") or {}
+    custom = None
     for channel in ("epw", "iaw"):
         if names.get(channel) is not None:
-            return os.path.dirname(names[f"{channel}-local"])
-    return None
+            custom = os.path.dirname(names[f"{channel}-local"])
+    return custom
 
 
 def _block_means_1d(vec, width):
