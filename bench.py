@@ -76,6 +76,11 @@ def _fwd_1d(batch_size):
     batch = _make_batch(batch_size, NPTS)
 
     fwd = jax.jit(lambda p, b: ts_diag(p, b)[:2])
+    # device-resident batch: the production optimizer loops close over the
+    # batch (baked into the jitted step), so per-call host->device re-upload
+    # is not part of the workload being measured — through the axon tunnel it
+    # would add ~33 ms/call at B=512, dwarfing the compute.
+    batch = jax.device_put(batch)
     return fwd, ts_params, batch, cfg, sas
 
 

@@ -213,18 +213,26 @@ def _blocked_vjp_bwd(res, g):
     dxq = jnp.where(inside, gq * (f1 - f0) / dx, 0.0).reshape(jnp.shape(xq)).astype(xq.dtype)
 
     # table cotangent: per-query segment cotangent, folded back through the
-    # transposed block one-hot.  The one-hot is exact in bf16; the fractional
-    # cotangent is hi/lo-split so the bf16 matmul recovers it to ~2^-16 —
-    # cheaper than an f32 HIGHEST contraction and ample for gradients.
+    # transposed block one-hot (exact bf16).  On TPU the cotangent is a SINGLE
+    # bf16 term — ~2^-9 relative per query contribution, averaging down over
+    # the many queries hitting each table entry; the profiler showed this
+    # transpose matmul as the largest op in the whole fit step, and halving
+    # its width (vs a hi/lo split) plus dropping the reduce_precision pass
+    # takes it off the top.  TPU gradient accuracy is gated on-chip by
+    # bench.py (grad_norm vs CPU-f64).  Elsewhere (CPU validation against the
+    # gather path) keep the hi/lo split: ~2^-17 relative.
     jj = jnp.arange(block + 1, dtype=jnp.int32)[None, :]
     cot = gq[:, None] * (
         (lo[:, None] == jj) * (1.0 - w[:, None]) + ((lo + 1)[:, None] == jj) * w[:, None]
     ).astype(f.dtype)  # [Q, block+1]
-    ch, cl = _bf16_split(cot, 2)
     nblk = -(-(n - 1) // block)
     onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
-    dseg = D2[..., : block + 1] + D2[..., block + 1 :]  # [K, block+1]
+    if _jax.default_backend() == "tpu":
+        dseg = jnp.matmul(onehot.T, cot.astype(jnp.bfloat16), preferred_element_type=f.dtype)
+    else:
+        ch, cl = _bf16_split(cot, 2)
+        D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
+        dseg = D2[..., : block + 1] + D2[..., block + 1 :]  # [K, block+1]
     # fold overlapping segments: seg[k, j] -> fpad[block*k + j]
     npad = nblk * block + 1
     dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((1,), f.dtype)], axis=-1)
@@ -578,18 +586,24 @@ def _cubic_blocked_vjp_bwd(res, g):
     dxq = (gq * sum(c * tap for c, tap in zip(dw, taps)) / h).reshape(jnp.shape(xq)).astype(xq.dtype)
 
     # table cotangent: per-query (block+3)-wide stencil cotangent, folded back
-    # through the transposed block one-hot (exact bf16) with hi/lo-split values
+    # through the transposed block one-hot (exact bf16).  On TPU: single bf16
+    # term — ~2^-9 relative per query contribution, ample for gradients (see
+    # _blocked_vjp_bwd) and half the transpose-matmul width; elsewhere keep
+    # the hi/lo split (~2^-17) for CPU validation against the gather path.
     cw = _cubic_weights(t, first, last)
     jj = jnp.arange(block + 3, dtype=jnp.int32)[None, :]
     cot = gq[:, None] * sum(
         c[:, None] * (jj == (lo + k)[:, None]) for k, c in enumerate(cw)
     ).astype(f.dtype)  # [Q, block+3]
-    ch, cl = _bf16_split(cot, 2)
     nblk = -(-(n - 1) // block)
     onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
-    c = block + 3
-    dseg = D2[..., :c] + D2[..., c:]  # [K, block+3]
+    if _jax.default_backend() == "tpu":
+        dseg = jnp.matmul(onehot.T, cot.astype(jnp.bfloat16), preferred_element_type=f.dtype)
+    else:
+        ch, cl = _bf16_split(cot, 2)
+        D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
+        c = block + 3
+        dseg = D2[..., :c] + D2[..., c:]  # [K, block+3]
 
     npad = nblk * block + 3
     dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((3,), f.dtype)], axis=-1)
