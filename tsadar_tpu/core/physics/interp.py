@@ -213,26 +213,23 @@ def _blocked_vjp_bwd(res, g):
     dxq = jnp.where(inside, gq * (f1 - f0) / dx, 0.0).reshape(jnp.shape(xq)).astype(xq.dtype)
 
     # table cotangent: per-query segment cotangent, folded back through the
-    # transposed block one-hot (exact bf16).  On TPU the cotangent is a SINGLE
-    # bf16 term — ~2^-9 relative per query contribution, averaging down over
-    # the many queries hitting each table entry; the profiler showed this
-    # transpose matmul as the largest op in the whole fit step, and halving
-    # its width (vs a hi/lo split) plus dropping the reduce_precision pass
-    # takes it off the top.  TPU gradient accuracy is gated on-chip by
-    # bench.py (grad_norm vs CPU-f64).  Elsewhere (CPU validation against the
-    # gather path) keep the hi/lo split: ~2^-17 relative.
+    # transposed block one-hot.  The one-hot is exact in bf16; the fractional
+    # cotangent is hi/lo-split so the bf16 matmul recovers it to ~2^-16 —
+    # cheaper than an f32 HIGHEST contraction and ample for gradients.
+    # (Measured on v5e, bench_blocked_bwd.py: a single-term bf16 cotangent
+    # looks cheaper on paper but fuses the cotangent build into the transpose
+    # matmul's fusion, serializing VPU work — 25.1 ms vs 16.3 ms fwd+bwd at
+    # production shapes; split2 / barrier / f32-HIGHEST all land ~16 ms, and
+    # the split keeps full gradient precision for free.)
     jj = jnp.arange(block + 1, dtype=jnp.int32)[None, :]
     cot = gq[:, None] * (
         (lo[:, None] == jj) * (1.0 - w[:, None]) + ((lo + 1)[:, None] == jj) * w[:, None]
     ).astype(f.dtype)  # [Q, block+1]
+    ch, cl = _bf16_split(cot, 2)
     nblk = -(-(n - 1) // block)
     onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    if _jax.default_backend() == "tpu":
-        dseg = jnp.matmul(onehot.T, cot.astype(jnp.bfloat16), preferred_element_type=f.dtype)
-    else:
-        ch, cl = _bf16_split(cot, 2)
-        D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
-        dseg = D2[..., : block + 1] + D2[..., block + 1 :]  # [K, block+1]
+    D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
+    dseg = D2[..., : block + 1] + D2[..., block + 1 :]  # [K, block+1]
     # fold overlapping segments: seg[k, j] -> fpad[block*k + j]
     npad = nblk * block + 1
     dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((1,), f.dtype)], axis=-1)
@@ -282,6 +279,57 @@ def interp1d_cubic(xq, x, f, extrap=True, uniform=False):
     return out
 
 
+def _cubic_W(xq, x, d=False):
+    """[Q, N] banded cubic-Hermite weight matrix (4 nonzeros per row).
+
+    The Hermite basis composed with the finite-difference slope stencil
+    (``_cubic_weights``); ``d=True`` builds dW/dt instead (for the analytic
+    query cotangent).
+    """
+    n = x.shape[0]
+    pos = (xq.reshape(-1) - x[0]) / (x[1] - x[0])
+    i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    t = pos - i
+    c_m1, c_0, c_p1, c_p2 = _cubic_weights(t, i == 0, i == n - 2, d=d)
+    cols = jnp.arange(n, dtype=jnp.int32)
+    iq = i[:, None]
+    return (
+        c_m1[:, None] * (cols == iq - 1)
+        + c_0[:, None] * (cols == iq)
+        + c_p1[:, None] * (cols == iq + 1)
+        + c_p2[:, None] * (cols == iq + 2)
+    )
+
+
+@_jax.custom_vjp
+def _cubic_matmul_core(xq, x, f):
+    return (jnp.matmul(_cubic_W(xq, x).astype(f.dtype), f)).reshape(jnp.shape(xq))
+
+
+def _cubic_matmul_core_fwd(xq, x, f):
+    return _cubic_matmul_core(xq, x, f), (xq, x, f)
+
+
+def _cubic_matmul_core_bwd(res, g):
+    """Both cotangents as W-shaped matmuls (the W build fuses into each).
+
+    XLA's automatic transpose of the fused W-build emitted six separate
+    reduce fusions per spectrum (the chain rule walked through every
+    jnp.where in the weight construction); the analytic forms are one
+    matmul each and the unused one (static query grids) dead-code
+    eliminates.
+    """
+    xq, x, f = res
+    gq = g.reshape(-1).astype(f.dtype)
+    dout_dx = jnp.matmul(_cubic_W(xq, x, d=True).astype(f.dtype), f) / (x[1] - x[0])
+    dxq = (gq * dout_dx).reshape(jnp.shape(xq)).astype(xq.dtype)
+    df = jnp.einsum("q,qn->n", gq, _cubic_W(xq, x).astype(f.dtype))
+    return dxq, jnp.zeros_like(x), df.astype(f.dtype)
+
+
+_cubic_matmul_core.defvjp(_cubic_matmul_core_fwd, _cubic_matmul_core_bwd)
+
+
 def interp1d_cubic_matmul(xq, x, f, extrap=True):
     """C1 cubic Hermite interpolation as a banded weight-matrix contraction.
 
@@ -289,48 +337,13 @@ def interp1d_cubic_matmul(xq, x, f, extrap=True):
     but expressed as out = W(xq) @ f where W has four nonzeros per row (the
     Hermite basis composed with the finite-difference slope stencil).  On TPU
     this replaces per-query gathers with one MXU matmul; when both xq and x are
-    compile-time constants, W constant-folds entirely.
+    compile-time constants, W constant-folds entirely.  Custom VJP: see
+    ``_cubic_matmul_core_bwd``.
 
     Intended for moderate N (the EDF velocity grid); W materializes [Q, N].
     """
     xq = jnp.asarray(xq)
-    n = x.shape[0]
-    h = x[1] - x[0]
-    pos = (xq - x[0]) / h
-    i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
-    t = pos - i
-
-    t2 = t * t
-    t3 = t2 * t
-    h00 = 2.0 * t3 - 3.0 * t2 + 1.0
-    h10 = t3 - 2.0 * t2 + t
-    h01 = -2.0 * t3 + 3.0 * t2
-    h11 = t3 - t2
-
-    first = i == 0
-    last = i == n - 2
-    # per-offset coefficients: interior central-difference slopes; one-sided
-    # second-order stencils in the first and last cells
-    c_m1 = jnp.where(first, 0.0, jnp.where(last, -0.5 * h10 + 0.5 * h11, -0.5 * h10))
-    c_0 = jnp.where(
-        first, h00 - 1.5 * h10 - 0.5 * h11, jnp.where(last, h00 - 2.0 * h11, h00 - 0.5 * h11)
-    )
-    c_p1 = jnp.where(
-        first, h01 + 2.0 * h10, jnp.where(last, h01 + 0.5 * h10 + 1.5 * h11, h01 + 0.5 * h10)
-    )
-    c_p2 = jnp.where(first, -0.5 * h10 + 0.5 * h11, jnp.where(last, 0.0, 0.5 * h11))
-
-    cols = jnp.arange(n, dtype=jnp.int32)
-    qshape = xq.shape
-    iq = i.reshape(-1, 1)
-    W = (
-        c_m1.reshape(-1, 1) * (cols == iq - 1)
-        + c_0.reshape(-1, 1) * (cols == iq)
-        + c_p1.reshape(-1, 1) * (cols == iq + 1)
-        + c_p2.reshape(-1, 1) * (cols == iq + 2)
-    )
-    out = (W @ f).reshape(qshape)
-
+    out = _cubic_matmul_core(xq, x, f)
     if extrap is not True:
         lo, hi = extrap
         out = jnp.where(xq < x[0], lo, out)
@@ -586,24 +599,21 @@ def _cubic_blocked_vjp_bwd(res, g):
     dxq = (gq * sum(c * tap for c, tap in zip(dw, taps)) / h).reshape(jnp.shape(xq)).astype(xq.dtype)
 
     # table cotangent: per-query (block+3)-wide stencil cotangent, folded back
-    # through the transposed block one-hot (exact bf16).  On TPU: single bf16
-    # term — ~2^-9 relative per query contribution, ample for gradients (see
-    # _blocked_vjp_bwd) and half the transpose-matmul width; elsewhere keep
-    # the hi/lo split (~2^-17) for CPU validation against the gather path.
+    # through the transposed block one-hot (exact bf16) with hi/lo-split values
+    # (a single-term bf16 cotangent measures ~1.5x SLOWER at production shapes
+    # — the cotangent build fuses into the transpose matmul and serializes its
+    # VPU work; see _blocked_vjp_bwd and bench_blocked_bwd.py)
     cw = _cubic_weights(t, first, last)
     jj = jnp.arange(block + 3, dtype=jnp.int32)[None, :]
     cot = gq[:, None] * sum(
         c[:, None] * (jj == (lo + k)[:, None]) for k, c in enumerate(cw)
     ).astype(f.dtype)  # [Q, block+3]
+    ch, cl = _bf16_split(cot, 2)
     nblk = -(-(n - 1) // block)
     onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    if _jax.default_backend() == "tpu":
-        dseg = jnp.matmul(onehot.T, cot.astype(jnp.bfloat16), preferred_element_type=f.dtype)
-    else:
-        ch, cl = _bf16_split(cot, 2)
-        D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
-        c = block + 3
-        dseg = D2[..., :c] + D2[..., c:]  # [K, block+3]
+    D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
+    c = block + 3
+    dseg = D2[..., :c] + D2[..., c:]  # [K, block+3]
 
     npad = nblk * block + 3
     dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((3,), f.dtype)], axis=-1)
