@@ -48,6 +48,7 @@ BASELINE_CACHE = os.path.join(HERE, ".bench_cpu_baseline.json")
 GOLDEN_CACHE = os.path.join(HERE, ".bench_cpu_golden.npz")
 
 V5E_PEAK_BF16_TFLOPS = 197.0  # per-chip MXU peak, bf16
+V5E_HBM_GBS = 819.0  # per-chip HBM bandwidth peak
 
 # Gate tolerances: ~3x the measured f32 conditioning floor (TPU-vs-CPU-f64
 # deviations with full-precision matmuls; CPU-f32 shows the same magnitudes,
@@ -157,19 +158,20 @@ def measure(batch_size=BATCH, iters=ITERS, want_flops=False, repeats=3):
         jax.block_until_ready(out)
         dt = min(dt, time.perf_counter() - t0)
 
-    flops = None
+    flops = bytes_accessed = None
     if want_flops:
         try:
             ca = compiled.cost_analysis()
             ca = ca[0] if isinstance(ca, list) else ca
             flops = float(ca.get("flops"))
+            bytes_accessed = float(ca.get("bytes accessed"))
         except Exception:
-            flops = None
-    return batch_size * iters / dt, dt / iters, flops
+            pass
+    return batch_size * iters / dt, dt / iters, flops, bytes_accessed
 
 
 def _fit_step_ms(batch_size=BATCH, repeats=3, iters=5):
-    """ms per loss+gradient evaluation at the bench batch (fwd+bwd)."""
+    """(ms, flops, bytes) per loss+gradient evaluation at the bench batch."""
     import jax
 
     from tsadar_tpu.core.params import get_filter_spec, partition
@@ -179,16 +181,25 @@ def _fit_step_ms(batch_size=BATCH, repeats=3, iters=5):
     loss_fn = LossFunction(cfg, sas, batch)
     diff, static = partition(ts_params, get_filter_spec(cfg["parameters"], ts_params))
     vg = jax.jit(jax.value_and_grad(loss_fn.__loss__, has_aux=True))
-    out = vg(diff, static, batch)
+    compiled = vg.lower(diff, static, batch).compile()
+    out = compiled(diff, static, batch)
     jax.block_until_ready(out[0][0])
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = vg(diff, static, batch)
+            out = compiled(diff, static, batch)
         jax.block_until_ready(out[0][0])
         best = min(best, (time.perf_counter() - t0) / iters * 1e3)
-    return best
+    flops = bytes_accessed = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops"))
+        bytes_accessed = float(ca.get("bytes accessed"))
+    except Exception:
+        pass
+    return best, flops, bytes_accessed
 
 
 def _run_cpu_subprocess():
@@ -240,7 +251,7 @@ def _cpu_main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)  # reference precision
-    value, _, flops = measure(batch_size=8, iters=3)
+    value, _, flops, _ = measure(batch_size=8, iters=3)
     # algorithmic FLOPs: the CPU lowering keeps gathers (no one-hot overhead),
     # so its cost analysis is the honest per-spectrum work estimate.  Static —
     # read it off the compiled program without executing the B=512 f64 forward.
@@ -268,13 +279,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     on_tpu = jax.default_backend() == "tpu"
-    value, sec_per_iter, xla_flops = measure(want_flops=True)
+    value, sec_per_iter, xla_flops, xla_bytes = measure(want_flops=True)
     baseline, useful_flops, golden = _cpu_artifacts()
 
     # context: one optimizer iteration (loss + grad) over the same batch
-    fit_ms = None
+    fit_ms = fit_flops = fit_bytes = None
     try:
-        fit_ms = _fit_step_ms()
+        fit_ms, fit_flops, fit_bytes = _fit_step_ms()
     except Exception:
         pass
 
@@ -297,6 +308,19 @@ def main():
         tflops_useful = useful_flops / sec_per_iter / 1e12
         result["tflops_useful"] = round(tflops_useful, 3)
         result["mfu_useful"] = round(tflops_useful / V5E_PEAK_BF16_TFLOPS, 4)
+
+    # roofline context: achieved HBM bandwidth vs the v5e peak answers whether
+    # each workload is bandwidth-bound (the compiled program's own
+    # bytes-accessed estimate; overcounts reuse, so treat >1 as "fully
+    # bandwidth-bound after on-chip reuse")
+    if xla_bytes:
+        gbs = xla_bytes / sec_per_iter / 1e9
+        result["membw_gbs_fwd"] = round(gbs, 1)
+        result["membw_util_fwd"] = round(gbs / V5E_HBM_GBS, 3)
+    if fit_ms and fit_bytes:
+        gbs = fit_bytes / (fit_ms / 1e3) / 1e9
+        result["membw_gbs_fit"] = round(gbs, 1)
+        result["membw_util_fit"] = round(gbs / V5E_HBM_GBS, 3)
 
     if on_tpu and golden is not None:
         ok, errs = _accuracy_gate(golden)
