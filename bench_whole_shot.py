@@ -2,11 +2,16 @@
 
 Target (BASELINE.md): < 1 minute on a v5e-8 for 100+ lineouts.  This runs on
 however many chips are visible (a single v5e chip here); the whole lineout batch
-is fit as ONE device-resident L-BFGS optimization (the reference loops Python
+is fit as ONE device-resident optimization (the reference loops Python
 batches of 2 through scipy with a host round trip per iteration,
 loops.py:132-162).
 
-Prints a JSON line with setup/fit timings and final per-lineout loss stats.
+Prints a JSON line with setup/fit timings, final per-lineout loss stats, and a
+``quality_ok`` fit-quality gate: the recovered Te/ne/m at the historically
+validated lineouts (reference tests/test_inverse/test_1d_data.py:50-84) must
+fall within the reference test's own tolerances, the wall-clock must beat the
+north-star minute, and the final loss must stay under a regression ceiling.
+Exits nonzero if the gate fails, so the driver catches silent regressions.
 """
 
 import json
@@ -122,11 +127,27 @@ def main():
     unnormed = final.get_unnormed_params()
     pixels = np.asarray(config["data"]["lineouts"]["val"])
     sel = np.where((pixels >= 500) & (pixels <= 510))[0]
+    Te = [float(np.asarray(unnormed["electron"]["Te"])[i]) for i in sel]
+    ne = [float(np.asarray(unnormed["electron"]["ne"])[i]) for i in sel]
+    m = [float(np.asarray(unnormed["electron"]["m"])[i]) for i in sel]
     quality = {
-        "Te_at_500-510": [round(float(np.asarray(unnormed["electron"]["Te"])[i], ), 4) for i in sel],
-        "ne_at_500-510": [round(float(np.asarray(unnormed["electron"]["ne"])[i]), 4) for i in sel],
-        "m_at_500-510": [round(float(np.asarray(unnormed["electron"]["m"])[i]), 3) for i in sel],
+        "Te_at_500-510": [round(v, 4) for v in Te],
+        "ne_at_500-510": [round(v, 4) for v in ne],
+        "m_at_500-510": [round(v, 3) for v in m],
     }
+
+    # regression gate: reference test_1d_data.py tolerances at the validated
+    # lineouts + the north-star wall-clock + a final-loss ceiling (~5x the
+    # converged value, room for run-to-run contention/lowering variance)
+    gates = {
+        "Te": all(abs(v - 0.641) / 0.641 <= 0.10 for v in Te),
+        "ne": all(abs(v - 0.228) / 0.228 <= 0.05 for v in ne),
+        "m": all(abs(v - 3.20) / 3.20 <= 0.15 for v in m),
+        "covered": len(sel) > 0,
+        "final_loss": float(values[-1]) < 1e-3,
+        "fit_time": fit_time < 60.0,
+    }
+    quality_ok = all(gates.values())
 
     print(
         json.dumps(
@@ -140,10 +161,14 @@ def main():
                 "initial_loss": float(values[0]),
                 "final_loss": float(values[-1]),
                 "median_per_lineout_loss": float(np.median(np.asarray(per_lineout_loss))),
+                "quality_ok": quality_ok,
             }
             | quality
+            | ({} if quality_ok else {"failed_gates": [k for k, v in gates.items() if not v]})
         )
     )
+    if not quality_ok:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ Oracles (mirroring the reference test strategy, tests/test_form_factor/):
 """
 
 import numpy as np
+import pytest
 from numpy.testing import assert_allclose
 from scipy.signal import find_peaks
 
@@ -219,3 +220,34 @@ def test_nudft_projection_matches_rotation():
     # differentiable, and the EDF cotangent is finite
     g = jax.grad(lambda d: jnp.sum(ff._project_all_nudft(vx, d, betas) ** 2))(DF)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_exact_mode_guarded_on_tpu(monkeypatch):
+    """mode='exact' on TPU falls back to table mode with a warning.
+
+    Per-point lax.map is the known-pathological lowering on the TPU backend
+    (form_factor.py dispatch comment); a user selecting exact mode there
+    should not silently eat an orders-of-magnitude slowdown.  The override
+    keyword must preserve exact mode, and CPU must be unaffected.
+    """
+    import warnings
+
+    import tsadar_tpu.core.physics.form_factor as ff_mod
+
+    kw = dict(
+        lambda_range=[450, 650], npts=64, lam_shift=0.0,
+        scattering_angles={"sa": np.array([60.0])}, num_grad_points=1,
+    )
+
+    # CPU (the real backend here): exact stays exact, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert FormFactor(mode="exact", **kw).mode == "exact"
+
+    monkeypatch.setattr(ff_mod.jax, "default_backend", lambda: "tpu")
+    with pytest.warns(UserWarning, match="falls back to mode='table'"):
+        assert FormFactor(mode="exact", **kw).mode == "table"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert FormFactor(mode="exact", allow_exact_on_tpu=True, **kw).mode == "exact"
+        assert FormFactor(mode="table", **kw).mode == "table"

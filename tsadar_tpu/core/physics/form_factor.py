@@ -63,6 +63,10 @@ class FormFactor:
         va_ang: angle of ion flow from x-axis [deg] (2V only).
         num_beta: angle-grid resolution for the 2V projection tables.
         mode: "table" (fast 2V path) or "exact" (per-point reference semantics).
+            On TPU, "exact" falls back to "table" with a warning — per-point
+            lax.map lowers pathologically there (~100x); pass
+            allow_exact_on_tpu=True to force it anyway.
+        allow_exact_on_tpu: opt out of the TPU exact-mode fallback.
     """
 
     def __init__(
@@ -78,6 +82,7 @@ class FormFactor:
         mode="table",
         projection="fourier",
         shard_points=False,
+        allow_exact_on_tpu=False,
     ):
         self.npts = npts
         # xi grids for the electron chi_R pole sweep (reference form_factor.py:128-138).
@@ -108,6 +113,21 @@ class FormFactor:
         self.ud_angle = ud_ang
         self.va_angle = va_ang
         self.num_beta = num_beta
+        if mode == "exact" and jax.default_backend() == "tpu" and not allow_exact_on_tpu:
+            # exact mode keeps the reference's per-point lax.map semantics —
+            # the exact pattern the TPU compiler lowers pathologically
+            # (orders of magnitude slower than table mode; CLAUDE.md).  Table
+            # mode agrees with exact to ~2e-3 of peak (tests/test_physics),
+            # so silently eating a ~100x slowdown is the worse default.
+            import warnings
+
+            warnings.warn(
+                "FormFactor(mode='exact') on TPU falls back to mode='table': per-point "
+                "lax.map lowers pathologically on this backend.  Pass "
+                "allow_exact_on_tpu=True to force exact mode (expect a large slowdown).",
+                stacklevel=2,
+            )
+            mode = "table"
         self.mode = mode
         self.projection = projection  # "fourier" (slice-theorem Radon) | "rotate"
         # multi-device data parallelism over the 2V chi evaluation points
