@@ -1,0 +1,102 @@
+"""End-to-end TPU smoke: prepare -> fit -> postprocess through the real CLI path.
+
+Runs the full runner on one OMEGA shot (101675, two EPW lineouts at the
+historically validated pixels) with a short device-resident adam fit, on
+whatever backend is live (the axon TPU chip under the driver).  Asserts finite
+losses, the artifact set, and loose physics bounds on the recovered
+parameters, then prints ONE JSON line; exits nonzero on any failure.
+
+Warm-cache runtime ~1 min; first run pays the remote TPU compile (~3 min).
+Record: E2E_TPU_r03.json.
+"""
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+import yaml
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    os.environ.setdefault(
+        "TSADAR_COMPILE_CACHE", os.path.join(os.path.expanduser("~"), ".tsadar_jax_cache")
+    )
+    workdir = tempfile.mkdtemp(prefix="tsadar_e2e_")
+    runs_dir = os.path.join(workdir, "runs")
+    os.environ["TSADAR_RUNS_DIR"] = runs_dir
+    cfg_dir = os.path.join(workdir, "cfg")
+    os.makedirs(cfg_dir)
+    shutil.copy(os.path.join(HERE, "tests/configs/time_test_defaults.yaml"), os.path.join(cfg_dir, "defaults.yaml"))
+    with open(os.path.join(HERE, "tests/configs/time_test_inputs.yaml")) as f:
+        inputs = yaml.safe_load(f)
+    # two lineouts at the validated pixels, short device-resident adam fit
+    inputs.setdefault("optimizer", {}).update(
+        {"method": "adam", "num_epochs": 60, "learning_rate": 5e-2, "batch_size": 2}
+    )
+    with open(os.path.join(cfg_dir, "inputs.yaml"), "w") as f:
+        yaml.safe_dump(inputs, f)
+
+    cwd = os.getcwd()
+    os.chdir(workdir)  # runner drops scratch files (e.g. state pickles) in cwd
+    t0 = time.time()
+    try:
+        from tsadar_tpu.runner import run
+
+        run(cfg_dir, mode="fit")
+    finally:
+        os.chdir(cwd)
+    total_s = time.time() - t0
+
+    import jax
+
+    checks = {}
+    csvs = glob.glob(os.path.join(runs_dir, "**", "learned_parameters.csv"), recursive=True)
+    checks["csv_exists"] = len(csvs) == 1
+    Te = ne = None
+    if csvs:
+        import pandas as pd
+
+        df = pd.read_csv(csvs[0])
+        Te = [float(v) for v in df["Te_electron"]]
+        ne = [float(v) for v in df["ne_electron"]]
+        checks["params_finite"] = bool(np.all(np.isfinite(df.select_dtypes("number").to_numpy())))
+        # loose physics gates: the validated convergence values are
+        # Te=0.641 / ne=0.228 (tests/test_inverse/test_1d_data.py); 60 adam
+        # epochs lands nearby but not converged, so bound generously
+        checks["Te_plausible"] = all(0.3 < v < 1.2 for v in Te)
+        checks["ne_plausible"] = all(0.1 < v < 0.4 for v in ne)
+    art_root = os.path.dirname(os.path.dirname(csvs[0])) if csvs else ""
+    expected = ["plots", "csv", "binary"]
+    checks["artifact_dirs"] = all(os.path.isdir(os.path.join(art_root, d)) for d in expected)
+    n_artifacts = len(glob.glob(os.path.join(art_root, "**", "*.*"), recursive=True)) if art_root else 0
+    checks["artifact_count"] = n_artifacts >= 10
+
+    ok = all(checks.values())
+    print(
+        json.dumps(
+            {
+                "workload": "e2e CLI fit: OMEGA 101675, 2 EPW lineouts, 60 adam epochs",
+                "platform": jax.default_backend(),
+                "ok": ok,
+                "total_s": round(total_s, 1),
+                "n_artifacts": n_artifacts,
+                "Te": Te,
+                "ne": ne,
+            }
+            | ({} if ok else {"failed_checks": [k for k, v in checks.items() if not v]})
+        )
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
