@@ -17,12 +17,19 @@ REF_FILES = "/root/reference/tsadar/external/files"
 
 
 def test_dawsn_vs_scipy():
+    # f64 path: the centered Rybicki series is used for ALL x (h = 0.25,
+    # discretization error ~7e-18), so demand near machine precision
     x = np.concatenate(
         [np.linspace(-12, 12, 4001), np.linspace(-0.1, 0.1, 101), [0.0, 5.99, 6.01, -6.0, 50.0]]
     )
     got = np.asarray(dawsn(jnp.asarray(x)))
     want = sps.dawsn(x)
-    assert_allclose(got, want, rtol=2e-8, atol=1e-14)
+    assert_allclose(got, want, rtol=5e-14, atol=1e-16)
+
+    # f32 path (the TPU hot loop): h = 0.36 + asymptotic tail beyond |x|=6;
+    # accuracy bounded by f32 resolution, not the series
+    got32 = np.asarray(dawsn(jnp.asarray(x, jnp.float32)))
+    assert_allclose(got32, want, rtol=0, atol=3e-7)
 
 
 def test_dawsn_grad_identity():

@@ -203,6 +203,11 @@ def pv_combined_kernel(n_intervals, delta):
 def pv_combined_kernel_np(n_intervals, delta):
     """Host-f64 numpy form of ``pv_combined_kernel`` (also the truth oracle for
     on-chip accuracy checks — the jnp conversion truncates to f32 on TPU)."""
+    # delta doubles as the kernel-type selector (0.0 -> midpoint poles,
+    # 0.5 -> node poles); any other offset would silently build a node-type
+    # Toeplitz matrix inconsistent with the requested pole positions
+    if delta not in (0.0, 0.5):
+        raise ValueError(f"delta must be 0.0 (midpoint poles) or 0.5 (node poles), got {delta}")
     m = n_intervals
     # build T in pure numpy (same formulas as pv_toeplitz_kernel/pv_node_kernel;
     # a jnp round trip would fail under an active trace — 2V builds this inside jit)

@@ -40,14 +40,26 @@ import numpy as _np
 _RYBICKI_J = _np.arange(-7.0, 8.0)  # j: 15 centered terms
 _RYBICKI_GAUSS = _np.exp(-4.0 * _RYBICKI_H**2 * _RYBICKI_J**2)
 
+# f64 path (CPU baseline/golden computations): a smaller step h = 0.25 keeps
+# the discretization error at exp(-(pi/2h)^2) ~ 7e-18 — reference-grade — at
+# the cost of a wider window (29 terms vs 15).  The f32/TPU hot path keeps
+# h = 0.36 (error ~5.5e-9, far below f32 resolution, and 2x fewer terms in
+# one of the three VPU-bound stages of the 1V loop).
+_RYBICKI_H64 = 0.25
+_RYBICKI_J64 = _np.arange(-14.0, 15.0)  # truncation exp(-4 h^2 J^2) ~ 5e-22
+_RYBICKI_GAUSS64 = _np.exp(-4.0 * _RYBICKI_H64**2 * _RYBICKI_J64**2)
+
 
 def _dawsn_rybicki(x):
-    h = _RYBICKI_H
+    if x.dtype == jnp.float64:
+        h, jgrid, gauss_np = _RYBICKI_H64, _RYBICKI_J64, _RYBICKI_GAUSS64
+    else:
+        h, jgrid, gauss_np = _RYBICKI_H, _RYBICKI_J, _RYBICKI_GAUSS
     n0 = 2.0 * jnp.floor(x / (2.0 * h)) + 1.0  # odd, u = x - n0 h in [-h, h)
     u = x - n0 * h
-    gauss = _RYBICKI_GAUSS.astype(x.dtype)
-    b_pow = jnp.exp(4.0 * h * u[..., None] * _RYBICKI_J.astype(x.dtype))
-    k = n0[..., None] + 2.0 * _RYBICKI_J.astype(x.dtype)
+    gauss = gauss_np.astype(x.dtype)
+    b_pow = jnp.exp(4.0 * h * u[..., None] * jgrid.astype(x.dtype))
+    k = n0[..., None] + 2.0 * jgrid.astype(x.dtype)
     series = jnp.sum(gauss * b_pow / k, axis=-1)
     return jnp.exp(-(u**2)) * series / jnp.sqrt(jnp.pi)
 
@@ -66,6 +78,11 @@ def _dawsn_asymptotic(x):
 def dawsn(x):
     """Dawson integral D(x) = exp(-x^2) int_0^x exp(t^2) dt, elementwise."""
     x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        # the centered Rybicki series is uniformly accurate in x (error =
+        # discretization ~7e-18 + truncation ~5e-22 at h=0.25); the 6-term
+        # asymptotic tail would cap f64 accuracy at ~1e-9 near |x|=6
+        return _dawsn_rybicki(x)
     small = jnp.abs(x) <= 6.0
     # evaluate rybicki on a clipped argument so the unused branch stays finite
     xr = jnp.clip(x, -6.5, 6.5)

@@ -70,16 +70,18 @@ def pv_tables_pallas(f, tmid, tnode, interpret=False, block_b=64):
     ``node[:, :N-3]`` matches ``pv_integral_uniform_nodes`` (its last column is
     the out-of-range pole and should be ignored, as in the XLA path).
 
-    Gridded over batch blocks of ``block_b`` rows (B must divide evenly): the
-    two [M, M] Toeplitz operands stay VMEM-resident across grid steps while
-    each step streams one block of integrands — the whole-batch form blows the
-    16 MB VMEM scoped limit at bench shapes (B=512, N=1024).
+    Gridded over batch blocks of ``block_b`` rows: the two [M, M] Toeplitz
+    operands stay VMEM-resident across grid steps while each step streams one
+    block of integrands — the whole-batch form blows the 16 MB VMEM scoped
+    limit at bench shapes (B=512, N=1024).  When B is not divisible by
+    ``block_b``, the largest divisor at or below it is used instead (the grid
+    needs equal blocks).
     """
     b, n = f.shape
     m = n - 2
     block_b = min(block_b, b)
-    if b % block_b:
-        raise ValueError(f"batch {b} not divisible by block_b {block_b}")
+    while b % block_b:
+        block_b -= 1
     return pl.pallas_call(
         _pv_tables_kernel,
         grid=(b // block_b,),

@@ -227,6 +227,27 @@ def _component_slices(comps_by_batch, lineout):
     return None
 
 
+def _axis_for_lineout(axis_store, lineout):
+    """The raw model wavelength axis for a global lineout index.
+
+    ``detailed_axis`` is keyed per batch (like ``spec_comps``) and each entry
+    may carry per-lineout rows when lam is fitted per-lineout — index the row
+    by the lineout's position in its batch rather than assuming lineout 0's
+    axis fits everyone."""
+    if axis_store is None:
+        return None
+    if isinstance(axis_store, dict):
+        for inds, ax in axis_store.items():
+            if lineout in inds:
+                ax = np.asarray(ax)
+                if ax.ndim > 1:
+                    return ax.reshape(-1, ax.shape[-1])[list(inds).index(lineout)]
+                return ax
+        return None
+    ax = np.asarray(axis_store)  # legacy single-array form
+    return ax.reshape(-1, ax.shape[-1])[0] if ax.ndim > 1 else ax
+
+
 def detailed_lineouts(config, all_data, all_axes, fits, losses, red_losses, sqdevs, td):
     """Best/worst lineouts plus, when the detailed breakdown ran, per-component
     figures: data, total fit, gradient/angle component slices, IRF-only
@@ -242,9 +263,10 @@ def detailed_lineouts(config, all_data, all_axes, fits, losses, red_losses, sqde
             continue
         data = np.atleast_2d(np.asarray(all_data[dkey]))
         total = np.atleast_2d(np.asarray(fits[species]["total_spec"]))
-        raw_axis = fits[species].get("detailed_axis")
+        axis_store = fits[species].get("detailed_axis")
         for lineout in picks:
             stack = _component_slices(comps, int(lineout))
+            raw_axis = _axis_for_lineout(axis_store, int(lineout))
             if stack is None or data.size <= 1 or data.shape[0] <= lineout:
                 continue
             fig, (ax_top, ax_res) = plt.subplots(
@@ -252,10 +274,6 @@ def detailed_lineouts(config, all_data, all_axes, fits, losses, red_losses, sqde
             )
             ax_top.plot(data[lineout], label="data", color="k", lw=1)
             ax_top.plot(total[lineout], label="total fit")
-            if raw_axis is not None:
-                raw_axis = np.asarray(raw_axis)
-                if raw_axis.ndim > 1:  # batched models squeeze to [B, L]
-                    raw_axis = raw_axis.reshape(-1, raw_axis.shape[-1])[0]
             if raw_axis is not None and stack.ndim == 3 and stack.shape[1] == raw_axis.size:
                 # stack is [G, L, A] on the raw model axis; a second x-axis
                 # keeps the pre-IRF components honest next to the pixel data

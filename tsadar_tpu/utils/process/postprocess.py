@@ -117,9 +117,15 @@ def recalculate_with_chosen_weights(
                     icomps[tuple(inds)] = np.asarray(ThryI_c)
                     fits["ion"].setdefault("IRF", np.zeros(i_shape))
                     assign(fits["ion"]["IRF"], inds, iIRF)
-                    # raw model axes: components live on the pre-IRF grid
-                    fits["ele"]["detailed_axis"] = np.squeeze(np.asarray(lamE_raw))
-                    fits["ion"]["detailed_axis"] = np.squeeze(np.asarray(lamI_raw))
+                    # raw model axes: components live on the pre-IRF grid;
+                    # keyed per batch (like spec_comps) because lam can be
+                    # fitted per-lineout, so each lineout has its own axis
+                    fits["ele"].setdefault("detailed_axis", {})[tuple(inds)] = np.squeeze(
+                        np.asarray(lamE_raw)
+                    )
+                    fits["ion"].setdefault("detailed_axis", {})[tuple(inds)] = np.squeeze(
+                        np.asarray(lamI_raw)
+                    )
                 except Exception as e:
                     print(f"detailed breakdown failed ({e}); continuing")
 
