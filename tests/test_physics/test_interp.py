@@ -207,3 +207,38 @@ def test_bf16_split_reconstructs_f32():
 
     # the residual term must NOT be identically zero (elision symptom)
     assert float(jnp.max(jnp.abs(second_term(x)))) > 0.0
+
+
+def test_hessian_flows_through_custom_vjp_kernels():
+    """jax.hessian (jacfwd-of-jacrev, the sigma path) must work through every
+    custom-VJP interp kernel.
+
+    Regression: a custom_vjp fwd rule that calls the WRAPPED function instead
+    of the plain impl leaves the custom_vjp primitive in the linearized jaxpr,
+    and the outer jacfwd then raises "can't apply forward-mode autodiff (jvp)
+    to a custom_vjp function" — which silently zeroed all postprocess sigmas
+    (the Hessian call is exception-guarded).
+    """
+    from tsadar_tpu.core.physics.interp import (
+        interp1d_cubic_blocked,
+        interp1d_cubic_matmul,
+        interp1d_linear_blocked,
+        interp1d_linear_uniform,
+        periodic_linear_rowmix,
+    )
+
+    x = jnp.linspace(0.0, 1.0, 50)
+    f = jnp.sin(3.0 * x)
+    T = jnp.asarray(np.random.default_rng(0).standard_normal((16, 20)))
+    bq = jnp.linspace(0.0, 2.0 * np.pi, 33)
+
+    cases = {
+        "linear_uniform": lambda t: jnp.sum(interp1d_linear_uniform(x * t, x, f * t) ** 2),
+        "linear_blocked": lambda t: jnp.sum(interp1d_linear_blocked(x * t, x, f * t) ** 2),
+        "cubic_matmul": lambda t: jnp.sum(interp1d_cubic_matmul(x * t, x, f * t, extrap=(0.0, 0.0)) ** 2),
+        "cubic_blocked": lambda t: jnp.sum(interp1d_cubic_blocked(x * t, x, f * t) ** 2),
+        "rowmix": lambda t: jnp.sum(periodic_linear_rowmix(T * t, bq * t) ** 2),
+    }
+    for name, loss in cases.items():
+        h = jax.hessian(loss)(0.9)
+        assert np.isfinite(float(h)), name

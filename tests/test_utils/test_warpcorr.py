@@ -1,0 +1,88 @@
+"""Fiducial-based streak dewarp reconstruction (warpcorr.py).
+
+The reference's precomputed warp maps are missing from its snapshot
+(.MISSING_LARGE_BLOBS:15-16); ``reconstruct_warp_from_fiducials`` rebuilds a
+low-order approximation from the in-frame tracers.  These tests validate the
+reconstruction on the real shot 101675 EPW frame: after dewarp the comb teeth
+must sit at the calibrated pip interval, the notch center must track its
+calibration row, counts must be conserved, and the map must be ~identity at
+the historically validated lineout (pixel 500), so the validated fits remain
+anchored.
+"""
+
+import numpy as np
+import pytest
+
+from tsadar_tpu.utils.data_handling.load_ts_data import _signal_frame
+from tsadar_tpu.utils.process.warpcorr import (
+    EPW5_NOTCH_TARGET_ROW,
+    EPW5_PIP_PX,
+    _comb_tooth_centers,
+    _forward_splat,
+    _notch_center,
+    perform_warp_correction,
+    reconstruct_warp_from_fiducials,
+)
+
+SHOT_FILE = "tsadar_tpu/external/data/EPW-s101675.hdf"
+
+
+@pytest.fixture(scope="module")
+def frame():
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", SHOT_FILE)
+    return _signal_frame(path)
+
+
+def test_tooth_chain_filter_rejects_non_pip_peaks(frame):
+    """The comb band contains a bright non-comb feature ~182 px before the
+    first pip; the chain filter must drop it (it would shift the whole sweep)."""
+    teeth = _comb_tooth_centers(frame)
+    spacing = np.diff(teeth)
+    assert len(teeth) >= 5
+    assert np.all(spacing > 0.6 * EPW5_PIP_PX)
+    assert np.all(spacing < 1.4 * EPW5_PIP_PX)
+
+
+def test_reconstruction_pins_tracers(frame):
+    maps = reconstruct_warp_from_fiducials(frame)
+    assert maps is not None
+    dew = _forward_splat(frame.astype(float), *maps)
+
+    # counts conserved up to frame-edge truncation: the late-sweep stretch
+    # (92 -> 109.6 px/pip) pushes the last ~25 columns past the frame edge
+    # where the splat drops them, same as the reference's out-of-range guard
+    # (measured 4.7% of total counts, all from the stretched frame edges)
+    assert abs(dew.sum() - frame.sum()) / frame.sum() < 6e-2
+    # ...and exactly within the fitted window, counts are preserved tightly
+    assert abs(dew[:, 380:900].sum() / frame[:, 380:900].sum() - 1.0) < 5e-2
+
+    # comb teeth at the calibrated pip interval after dewarp
+    teeth = _comb_tooth_centers(dew)
+    assert np.all(np.abs(np.diff(teeth) - EPW5_PIP_PX) < 3.0)
+    # anchored at the first tooth: fiducial t0 unchanged
+    assert abs(teeth[0] - _comb_tooth_centers(frame)[0]) < 2.0
+
+    # notch center tracks its calibration row (raw frame drifts ~12 px)
+    centers = []
+    for c in range(420, 960, 60):
+        center = _notch_center(dew[:, c - 8 : c + 8].sum(axis=1))
+        if center is not None:
+            centers.append(center)
+    assert len(centers) >= 5
+    assert np.max(np.abs(np.asarray(centers) - EPW5_NOTCH_TARGET_ROW)) < 3.0
+
+    # ~identity at the validated lineout (pixel 500): the historically
+    # validated fit values stay anchored
+    typix, txpix = maps
+    assert abs(txpix[0, 500] - 500.0) < 1.5
+    assert abs(typix[0, 500] - 0.5 - (typix[1, 500] - 1.5)) < 1e-9  # pure shift in rows
+    assert abs(typix[0, 500] - 0.0) < 2.5
+
+
+def test_identity_fallback_when_tracers_absent():
+    rng = np.random.default_rng(0)
+    noise = rng.normal(0.0, 1.0, (256, 256))
+    out = perform_warp_correction(noise, fiducial_fallback=True)
+    np.testing.assert_array_equal(out, noise)

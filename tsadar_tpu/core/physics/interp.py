@@ -301,13 +301,20 @@ def _cubic_W(xq, x, d=False):
     )
 
 
-@_jax.custom_vjp
-def _cubic_matmul_core(xq, x, f):
+def _cubic_matmul_impl(xq, x, f):
     return (jnp.matmul(_cubic_W(xq, x).astype(f.dtype), f)).reshape(jnp.shape(xq))
 
 
+@_jax.custom_vjp
+def _cubic_matmul_core(xq, x, f):
+    return _cubic_matmul_impl(xq, x, f)
+
+
 def _cubic_matmul_core_fwd(xq, x, f):
-    return _cubic_matmul_core(xq, x, f), (xq, x, f)
+    # call the PLAIN impl, not the wrapped function: the custom_vjp primitive
+    # must dissolve under linearization or jacfwd-of-jacrev (jax.hessian,
+    # the sigma path) hits "can't apply jvp to a custom_vjp function"
+    return _cubic_matmul_impl(xq, x, f), (xq, x, f)
 
 
 def _cubic_matmul_core_bwd(res, g):
@@ -411,20 +418,7 @@ def _rowmix_indices(R, beta_q):
     return ib0, ib1, wb
 
 
-@_jax.custom_vjp
-def periodic_linear_rowmix(T, beta_q):
-    """Row-interpolate T[R, C] at angles beta_q: out[q, :] = lerp(T[ib0], T[ib1], wb).
-
-    Rows live on a uniform periodic grid beta_r = 2*pi*r/R.  The lookup is a
-    fractional two-hot [Q, R] contraction with the weight matrix split hi/lo in
-    bfloat16 (result exact to ~2^-17 relative) — no hardware gather, so the TPU
-    compiler's pathological batched-gather lowering (CLAUDE.md) never triggers.
-    Used by the 2V chi table mode: one rowmix over the stacked
-    (f1d | df1d | chiR) tables replaces three bilinear gathers; the remaining
-    v-axis selection is elementwise (``select_columns_linear``).
-
-    Custom VJP: dT = W^T @ g (f32, HIGHEST), dbeta = sum(g * (T[ib1]-T[ib0]))/dbeta.
-    """
+def _rowmix_impl(T, beta_q):
     R, C = T.shape
     qshape = jnp.shape(beta_q)
     ib0, ib1, wb = _rowmix_indices(R, beta_q.reshape(-1))
@@ -441,8 +435,26 @@ def periodic_linear_rowmix(T, beta_q):
     return out.reshape(qshape + (C,))
 
 
+@_jax.custom_vjp
+def periodic_linear_rowmix(T, beta_q):
+    """Row-interpolate T[R, C] at angles beta_q: out[q, :] = lerp(T[ib0], T[ib1], wb).
+
+    Rows live on a uniform periodic grid beta_r = 2*pi*r/R.  The lookup is a
+    fractional two-hot [Q, R] contraction with the weight matrix split hi/lo in
+    bfloat16 (result exact to ~2^-17 relative) — no hardware gather, so the TPU
+    compiler's pathological batched-gather lowering (CLAUDE.md) never triggers.
+    Used by the 2V chi table mode: one rowmix over the stacked
+    (f1d | df1d | chiR) tables replaces three bilinear gathers; the remaining
+    v-axis selection is elementwise (``select_columns_linear``).
+
+    Custom VJP: dT = W^T @ g (f32, HIGHEST), dbeta = sum(g * (T[ib1]-T[ib0]))/dbeta.
+    """
+    return _rowmix_impl(T, beta_q)
+
+
 def _rowmix_vjp_fwd(T, beta_q):
-    return periodic_linear_rowmix(T, beta_q), (T, beta_q)
+    # plain impl, not the wrapped function: see _cubic_matmul_core_fwd
+    return _rowmix_impl(T, beta_q), (T, beta_q)
 
 
 def _rowmix_vjp_bwd(res, g):

@@ -109,7 +109,15 @@ def loadData(sNum, sDay, loadspecs, custom_path=None):
             if spec_type == "angular":
                 eDat = np.fliplr(eDat)
             elif spec_type == "temporal":
-                eDat = perform_warp_correction(eDat)
+                # fiducial_dewarp (default on): when the reference's warp maps
+                # are missing, reconstruct a low-order approximation from the
+                # in-frame timing comb + notch tracers (warpcorr module doc) —
+                # closer to the reference's dewarped-data behavior than the
+                # identity fallback; falls back to identity if tracers are
+                # absent.  Disable with extraoptions.fiducial_dewarp: false.
+                eDat = perform_warp_correction(
+                    eDat, fiducial_fallback=loadspecs.get("fiducial_dewarp", True)
+                )
             elif spec_type == "imaging":
                 eDat = np.rot90(np.squeeze(eDat), 3)
             if spec_type == "temporal" and want_t0:

@@ -5,6 +5,29 @@ per-pixel Python double loop replaced by a vectorized numpy scatter-add (same
 splat weights).  The precomputed warp maps (``epwtestDW5img1x/y.npy``) are
 missing from the reference snapshot (.MISSING_LARGE_BLOBS); when absent the
 correction degrades to identity with a warning, preserving pipeline operability.
+
+``reconstruct_warp_from_fiducials`` builds a LOW-ORDER approximation of the
+missing maps from tracers inside each frame (opt-in via the
+``other.extraoptions.fiducial_dewarp`` deck flag):
+
+* **time axis** — the OMEGA timing-fiducial comb pips arrive every 548 ps
+  (109.6 px at the 5 ps/px calibration); measured tooth spacing on shot
+  101675 runs 109.4 px early -> 92.3 px late, i.e. the sweep runs ~17% fast
+  by the end of the window.  The map pins each tooth back to the calibrated
+  pip interval (anchored at the first tooth, so fiducial t0 is unchanged).
+* **spectral axis** — the iaw notch filter's dark band is an in-frame
+  wavelength reference; its measured center drifts ~12 px across the sweep.
+  The half-depth band EDGES are biased inward relative to the filter's
+  nominal wavelengths (finite OD slope), but the band CENTER is unbiased, so
+  the map applies the per-column shift that pins the center to the
+  calibration row of the notch center wavelength (528 nm -> row 507.6).
+
+What this cannot recover (quantified on shot 101675, see PARITY.md): any
+warp component varying along the spectral axis between the comb band
+(rows ~0-130) and the notch (rows ~470-540) — the in-frame tracers sample
+the 2D warp on two nearly-horizontal curves only, so the reconstruction is
+separable (rank-1) by construction, while the lost reference maps encode a
+full calibration-grid measurement.
 """
 
 import os
@@ -12,6 +35,15 @@ import os
 import numpy as np
 
 _EXTERNAL = os.path.join(os.path.dirname(__file__), "..", "..", "external")
+
+# EPW 5 ns streak instrument constants for the fiducial reconstruction
+EPW5_PIP_PX = 109.6  # 548 ps OMEGA fiducial pip interval / 5 ps-per-px sweep
+EPW5_COMB_ROWS = slice(0, 100)  # row band carrying the timing comb (loader's band)
+EPW5_NOTCH_BAND = (430, 580)  # row window containing the iaw notch dark band
+EPW5_NOTCH_TARGET_ROW = 507.6  # 528 nm (notch center) on the EPW spectral calibration
+_COMB_PROMINENCE = 1000
+_COMB_WIDTH = 10
+_NOTCH_MIN_LEVEL = 500.0  # counts: plateau level needed to trust an edge fit
 
 
 def _load_warp_maps(instrument="EPW", sweepSpeed=5):
@@ -24,9 +56,151 @@ def _load_warp_maps(instrument="EPW", sweepSpeed=5):
     return np.load(xp), np.load(yp)
 
 
-def perform_warp_correction(warpedData, instrument="EPW", sweepSpeed=5, flatField=True):
+def _forward_splat(val, typix, txpix):
+    """Bilinear forward splat: counts at (row i, col j) land at (typix, txpix).
+
+    Same splat weights and edge guards as the reference remap loop; counts are
+    conserved for interior pixels, so a locally compressed axis raises the
+    per-pixel density by the local Jacobian — the mechanism by which dewarp
+    affects fitted amplitudes.
+    """
+    n0, n1 = val.shape
+    xl = np.floor(txpix).astype(int)
+    xh = np.ceil(txpix).astype(int)
+    yl = np.floor(typix).astype(int)
+    yh = np.ceil(typix).astype(int)
+    xlf = 1.0 - (txpix - xl)
+    ylf = 1.0 - (typix - yl)
+
+    dep = np.zeros_like(val, dtype=float)
+    valid = (yl > 0) & (xl > 0) & (yh < n0) & (xh < n1)
+
+    def splat(yy, xx, w):
+        np.add.at(dep, (yy[valid], xx[valid]), (val * w)[valid])
+
+    splat(yl, xl, xlf * ylf)
+    splat(yl, xh, (1 - xlf) * ylf)
+    splat(yh, xl, xlf * (1 - ylf))
+    splat(yh, xh, (1 - xlf) * (1 - ylf))
+    return dep
+
+
+def _comb_tooth_centers(img, comb_rows=EPW5_COMB_ROWS, pip_px=EPW5_PIP_PX):
+    """Subpixel timing-comb tooth centers (half-height midpoints), or None.
+
+    Detected peaks are filtered to the longest chain of CONSECUTIVE pips
+    (spacing within 40% of the nominal pip interval) — the comb band can
+    contain bright non-comb features (signal bleed, pre-pulse marks) whose
+    spacing to the real teeth is not one pip, and anchoring the time map on
+    one of those would shift the whole sweep.
+    """
+    from scipy.signal import find_peaks
+
+    comb = img[comb_rows, :].sum(axis=0)
+    _, props = find_peaks(comb, prominence=_COMB_PROMINENCE, width=_COMB_WIDTH)
+    centers = 0.5 * (props["left_ips"] + props["right_ips"])
+    if len(centers) < 3:
+        return None
+    best, run = [], [centers[0]]
+    for prev, cur in zip(centers[:-1], centers[1:]):
+        if 0.6 * pip_px <= cur - prev <= 1.4 * pip_px:
+            run.append(cur)
+        else:
+            best, run = (run, [cur]) if len(run) > len(best) else (best, [cur])
+    best = run if len(run) > len(best) else best
+    return np.asarray(best) if len(best) >= 3 else None
+
+
+def _notch_center(prof, band=EPW5_NOTCH_BAND):
+    """Half-depth center row of the notch dark band in one column profile.
+
+    Returns None when the surrounding plateaus are too dim to give reliable
+    edges.  The two half-depth crossings are biased inward by the filter's
+    finite OD slope, but symmetrically — their midpoint is unbiased.
+    """
+    lo, hi = band
+    p = np.convolve(prof[lo:hi].astype(float), np.ones(5) / 5, mode="same")
+    imin = int(np.argmin(p))
+    if imin < 10 or imin > len(p) - 10:
+        return None
+    floor = p[imin]
+    left_lvl = np.median(p[: imin - 5])
+    right_lvl = np.median(p[imin + 5 :])
+    if min(left_lvl, right_lvl) - floor < _NOTCH_MIN_LEVEL:
+        return None
+    edges = []
+    for direction, lvl in ((-1, left_lvl), (1, right_lvl)):
+        half = 0.5 * (lvl + floor)
+        i = imin
+        while 0 < i < len(p) - 1 and p[i] < half:
+            i += direction
+        if i <= 0 or i >= len(p) - 1:
+            return None
+        frac = (half - p[i - direction]) / (p[i] - p[i - direction] + 1e-12)
+        edges.append(i - direction + direction * frac)
+    return lo + 0.5 * (edges[0] + edges[1])
+
+
+def reconstruct_warp_from_fiducials(
+    img,
+    pip_px=EPW5_PIP_PX,
+    comb_rows=EPW5_COMB_ROWS,
+    notch_band=EPW5_NOTCH_BAND,
+    notch_target_row=EPW5_NOTCH_TARGET_ROW,
+):
+    """(typix, txpix) dewarp target maps from in-frame tracers, or None.
+
+    Separable low-order model: columns move so the comb teeth sit at the
+    calibrated pip interval (anchored at the first tooth — fiducial t0 is
+    invariant); rows shift per column so the notch center tracks its
+    calibration row.  See the module docstring for what this can and cannot
+    recover.
+    """
+    n0, n1 = img.shape
+    teeth = _comb_tooth_centers(img, comb_rows)
+    if teeth is None:
+        return None
+
+    # time map: measured tooth k -> first_tooth + k * pip_px, piecewise-linear
+    # in between, extended with the edge slopes outside the comb
+    true_teeth = teeth[0] + pip_px * np.arange(len(teeth))
+    cols = np.arange(n1, dtype=float)
+    colp = np.interp(cols, teeth, true_teeth)
+    left_slope = (true_teeth[1] - true_teeth[0]) / (teeth[1] - teeth[0])
+    right_slope = (true_teeth[-1] - true_teeth[-2]) / (teeth[-1] - teeth[-2])
+    colp = np.where(cols < teeth[0], true_teeth[0] + (cols - teeth[0]) * left_slope, colp)
+    colp = np.where(cols > teeth[-1], true_teeth[-1] + (cols - teeth[-1]) * right_slope, colp)
+
+    # spectral shift: notch center per 16-col block, quadratic fit over valid
+    # blocks (needs enough of the sweep lit to constrain the polynomial)
+    centers, ccols = [], []
+    for c in range(8, n1 - 8, 16):
+        center = _notch_center(img[:, c - 8 : c + 8].sum(axis=1), notch_band)
+        if center is not None:
+            centers.append(center)
+            ccols.append(c)
+    if len(centers) < 8 or (max(ccols) - min(ccols)) < n1 / 4:
+        return None
+    coeff = np.polyfit(np.asarray(ccols, float), np.asarray(centers, float), 2)
+    shift = notch_target_row - np.polyval(coeff, cols)  # [n1]
+
+    typix = np.arange(n0, dtype=float)[:, None] + shift[None, :]
+    txpix = np.broadcast_to(colp[None, :], (n0, n1))
+    return typix, txpix
+
+
+def perform_warp_correction(
+    warpedData, instrument="EPW", sweepSpeed=5, flatField=True, fiducial_fallback=False
+):
     warp1x, warp1y = _load_warp_maps(instrument, sweepSpeed)
     if warp1x is None:
+        if fiducial_fallback:
+            maps = reconstruct_warp_from_fiducials(np.asarray(warpedData))
+            if maps is not None:
+                print("warpcorr: using fiducial-reconstructed warp (comb + notch tracers)")
+                return _forward_splat(np.asarray(warpedData, dtype=float), *maps)
+            print("warpcorr: fiducial tracers not found; returning data without dewarp")
+            return warpedData
         print(
             "warpcorr: warp maps unavailable (missing from reference snapshot); "
             "returning data without dewarp"
@@ -39,23 +213,4 @@ def perform_warp_correction(warpedData, instrument="EPW", sweepSpeed=5, flatFiel
     # (typix, txpix) = (j + warp1y[j, i], i + warp1x[j, i])
     typix = jj.T + warp1y  # indexed [j, i]
     txpix = ii.T + warp1x
-
-    val = warpedData  # [j, i] layout matches warp arrays
-    xl = np.floor(txpix).astype(int)
-    xh = np.ceil(txpix).astype(int)
-    yl = np.floor(typix).astype(int)
-    yh = np.ceil(typix).astype(int)
-    xlf = 1.0 - (txpix - xl)
-    ylf = 1.0 - (typix - yl)
-
-    dep = np.zeros_like(warpedData, dtype=float)
-    valid = (yl > 0) & (xl > 0) & (yh < n0) & (xh < n1)
-
-    def splat(yy, xx, w):
-        np.add.at(dep, (yy[valid], xx[valid]), (val * w)[valid])
-
-    splat(yl, xl, xlf * ylf)
-    splat(yl, xh, (1 - xlf) * ylf)
-    splat(yh, xl, xlf * (1 - ylf))
-    splat(yh, xh, (1 - xlf) * (1 - ylf))
-    return dep
+    return _forward_splat(warpedData, typix, txpix)

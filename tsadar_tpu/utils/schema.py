@@ -168,7 +168,7 @@ def _check_parameters(cfg):
 def _check_other(cfg):
     other = _require(cfg, ("other",))
     _check_enum(cfg, ("other", "extraoptions", "spectype"), _SPECTYPES, casefold=True)
-    for flag in ("load_ion_spec", "load_ele_spec", "fit_IAW", "fit_EPWb", "fit_EPWr"):
+    for flag in ("load_ion_spec", "load_ele_spec", "fit_IAW", "fit_EPWb", "fit_EPWr", "fiducial_dewarp"):
         _check_bool(cfg, ("other", "extraoptions", flag))
     ccd = _get(cfg, ("other", "CCDsize"))
     if ccd is not _MISSING and (not isinstance(ccd, (list, tuple)) or len(ccd) != 2):
