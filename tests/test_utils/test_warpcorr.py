@@ -15,7 +15,6 @@ import pytest
 
 from tsadar_tpu.utils.data_handling.load_ts_data import _signal_frame
 from tsadar_tpu.utils.process.warpcorr import (
-    EPW5_NOTCH_TARGET_ROW,
     EPW5_PIP_PX,
     _comb_tooth_centers,
     _forward_splat,
@@ -46,7 +45,9 @@ def test_tooth_chain_filter_rejects_non_pip_peaks(frame):
 
 
 def test_reconstruction_pins_tracers(frame):
-    maps = reconstruct_warp_from_fiducials(frame)
+    # 507.5 = the shot-101675 calibration row of the 528 nm notch center (the
+    # loader computes this per shot via _notch_target_row)
+    maps = reconstruct_warp_from_fiducials(frame, notch_target_row=507.5)
     assert maps is not None
     dew = _forward_splat(frame.astype(float), *maps)
 
@@ -64,14 +65,30 @@ def test_reconstruction_pins_tracers(frame):
     # anchored at the first tooth: fiducial t0 unchanged
     assert abs(teeth[0] - _comb_tooth_centers(frame)[0]) < 2.0
 
-    # notch center tracks its calibration row (raw frame drifts ~12 px)
-    centers = []
+    # notch center straightened AND registered: the raw frame drifts ~12 px
+    # across the sweep; after dewarp the center must sit near its calibration
+    # row everywhere
+    raw_centers, centers = [], []
     for c in range(420, 960, 60):
+        raw = _notch_center(frame[:, c - 8 : c + 8].sum(axis=1))
         center = _notch_center(dew[:, c - 8 : c + 8].sum(axis=1))
+        if raw is not None:
+            raw_centers.append(raw)
         if center is not None:
             centers.append(center)
     assert len(centers) >= 5
-    assert np.max(np.abs(np.asarray(centers) - EPW5_NOTCH_TARGET_ROW)) < 3.0
+    assert np.ptp(np.asarray(raw_centers)) > 6.0  # the drift is real in the raw frame
+    assert np.max(np.abs(np.asarray(centers) - 507.5)) < 3.0
+
+    # relative anchoring (no calibration available): straightened, not moved
+    typix_rel, txpix_rel = reconstruct_warp_from_fiducials(frame)
+    dew_rel = _forward_splat(frame.astype(float), typix_rel, txpix_rel)
+    rel = [
+        _notch_center(dew_rel[:, c - 8 : c + 8].sum(axis=1))
+        for c in range(420, 960, 60)
+    ]
+    rel = np.asarray([r for r in rel if r is not None])
+    assert np.ptp(rel) < 4.0
 
     # ~identity at the validated lineout (pixel 500): the historically
     # validated fit values stay anchored

@@ -405,14 +405,23 @@ class FormFactor:
         argx = (2.0 * jnp.pi / P) * cosb[:, None, None] * r[None, :, None] * idx[None, None, :]
         argy = (2.0 * jnp.pi / P) * sinb[:, None, None] * r[None, :, None] * idx[None, None, :]
         B = betas.shape[0]
-        # inner[b, k, y] = sum_x DF[y, x] e^{-i argx[b,k,x]} : two real matmuls
-        ex_r = jnp.cos(argx).reshape(B * P, n)
-        ex_i = jnp.sin(argx).reshape(B * P, n)
+        # inner[b, k, y] = sum_x DF[y, x] e^{-i argx[b,k,x]} : two real matmuls.
+        # The trig tables are barriered so they materialize ONCE: without it,
+        # XLA fuses the cos/sin generation into every consumer matmul (two
+        # forward dots + their AD transposes), re-evaluating ~17M
+        # transcendentals per fusion on the VPU — measured ~1.9 ms/iteration
+        # of the ARTS fit step vs ~0.1 ms of extra HBM traffic to store them.
+        ex_r, ex_i, ey_r, ey_i = jax.lax.optimization_barrier(
+            (
+                jnp.cos(argx).reshape(B * P, n),
+                jnp.sin(argx).reshape(B * P, n),
+                jnp.cos(argy),
+                jnp.sin(argy),
+            )
+        )
         inner_r = (ex_r @ DF.T).reshape(B, P, n)
         inner_i = (-ex_i @ DF.T).reshape(B, P, n)
         # S[b, k] = sum_y e^{-i argy[b,k,y]} inner[b, k, y]
-        ey_r = jnp.cos(argy)
-        ey_i = jnp.sin(argy)
         S_r = jnp.sum(ey_r * inner_r + ey_i * inner_i, axis=-1)
         S_i = jnp.sum(ey_r * inner_i - ey_i * inner_r, axis=-1)
 

@@ -67,6 +67,27 @@ def _fiducial_t0(image, channel):
     return round(first_tooth - geo["t0_offset_px"])
 
 
+_NOTCH_LAMBDA = 528.0  # iaw notch filter center wavelength [nm] (instrument)
+
+
+def _notch_target_row(sNum, shape):
+    """Calibration row of the notch center wavelength for this shot's range.
+
+    Gives the fiducial dewarp its ABSOLUTE spectral anchor (the row where the
+    shot-ranged wavelength calibration expects the notch filter's center) —
+    t0-independent, so it can be computed before the fiducial timing.
+    Returns None (relative anchoring) if the calibration is unavailable.
+    """
+    try:
+        from .calibration import get_calibrations
+
+        _, _, axisyE, _, _, _ = get_calibrations(int(sNum), "temporal", [0.0, 0.0], list(shape))
+        return float(np.interp(_NOTCH_LAMBDA, np.asarray(axisyE).ravel(), np.arange(shape[0])))
+    except Exception as e:
+        print(f"notch target row unavailable ({e}); using relative spectral anchoring")
+        return None
+
+
 def loadData(sNum, sDay, loadspecs, custom_path=None):
     """Load electron/ion frames for a shot number; detect spectype from filenames.
 
@@ -116,7 +137,9 @@ def loadData(sNum, sDay, loadspecs, custom_path=None):
                 # identity fallback; falls back to identity if tracers are
                 # absent.  Disable with extraoptions.fiducial_dewarp: false.
                 eDat = perform_warp_correction(
-                    eDat, fiducial_fallback=loadspecs.get("fiducial_dewarp", True)
+                    eDat,
+                    fiducial_fallback=loadspecs.get("fiducial_dewarp", True),
+                    notch_target_row=_notch_target_row(sNum, eDat.shape),
                 )
             elif spec_type == "imaging":
                 eDat = np.rot90(np.squeeze(eDat), 3)

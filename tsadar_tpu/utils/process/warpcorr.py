@@ -20,7 +20,9 @@ missing maps from tracers inside each frame (opt-in via the
   The half-depth band EDGES are biased inward relative to the filter's
   nominal wavelengths (finite OD slope), but the band CENTER is unbiased, so
   the map applies the per-column shift that pins the center to the
-  calibration row of the notch center wavelength (528 nm -> row 507.6).
+  calibration row of the notch wavelength, computed per shot by the loader
+  (``load_ts_data._notch_target_row``); without a calibration it degrades to
+  relative (straighten-only) anchoring.
 
 What this cannot recover (quantified on shot 101675, see PARITY.md): any
 warp component varying along the spectral axis between the comb band
@@ -40,7 +42,6 @@ _EXTERNAL = os.path.join(os.path.dirname(__file__), "..", "..", "external")
 EPW5_PIP_PX = 109.6  # 548 ps OMEGA fiducial pip interval / 5 ps-per-px sweep
 EPW5_COMB_ROWS = slice(0, 100)  # row band carrying the timing comb (loader's band)
 EPW5_NOTCH_BAND = (430, 580)  # row window containing the iaw notch dark band
-EPW5_NOTCH_TARGET_ROW = 507.6  # 528 nm (notch center) on the EPW spectral calibration
 _COMB_PROMINENCE = 1000
 _COMB_WIDTH = 10
 _NOTCH_MIN_LEVEL = 500.0  # counts: plateau level needed to trust an edge fit
@@ -146,15 +147,23 @@ def reconstruct_warp_from_fiducials(
     pip_px=EPW5_PIP_PX,
     comb_rows=EPW5_COMB_ROWS,
     notch_band=EPW5_NOTCH_BAND,
-    notch_target_row=EPW5_NOTCH_TARGET_ROW,
+    notch_target_row=None,
 ):
     """(typix, txpix) dewarp target maps from in-frame tracers, or None.
 
     Separable low-order model: columns move so the comb teeth sit at the
     calibrated pip interval (anchored at the first tooth — fiducial t0 is
-    invariant); rows shift per column so the notch center tracks its
-    calibration row.  See the module docstring for what this can and cannot
-    recover.
+    invariant); rows shift per column so the notch center tracks
+    ``notch_target_row`` — the calibration row of the notch center wavelength,
+    computed PER SHOT by the caller (528 nm sits at row 507.5 for shot 101675
+    but 512.2 for 111411, so it cannot be a constant here).  The absolute
+    registration matters: it aligns the per-lineout amplitude normalization
+    windows with their dewarped-calibration positions (amp1 on the validated
+    shot improves from 11% to 9% off with it vs relative-only anchoring).
+    When None, the center is held at its first-tooth-column value instead
+    (relative anchoring: straightens the drift, leaves global registration to
+    the fitted probe wavelength).  See the module docstring for what this can
+    and cannot recover.
     """
     n0, n1 = img.shape
     teeth = _comb_tooth_centers(img, comb_rows)
@@ -182,7 +191,8 @@ def reconstruct_warp_from_fiducials(
     if len(centers) < 8 or (max(ccols) - min(ccols)) < n1 / 4:
         return None
     coeff = np.polyfit(np.asarray(ccols, float), np.asarray(centers, float), 2)
-    shift = notch_target_row - np.polyval(coeff, cols)  # [n1]
+    anchor = notch_target_row if notch_target_row is not None else np.polyval(coeff, teeth[0])
+    shift = anchor - np.polyval(coeff, cols)  # [n1]
 
     typix = np.arange(n0, dtype=float)[:, None] + shift[None, :]
     txpix = np.broadcast_to(colp[None, :], (n0, n1))
@@ -190,12 +200,19 @@ def reconstruct_warp_from_fiducials(
 
 
 def perform_warp_correction(
-    warpedData, instrument="EPW", sweepSpeed=5, flatField=True, fiducial_fallback=False
+    warpedData,
+    instrument="EPW",
+    sweepSpeed=5,
+    flatField=True,
+    fiducial_fallback=False,
+    notch_target_row=None,
 ):
     warp1x, warp1y = _load_warp_maps(instrument, sweepSpeed)
     if warp1x is None:
         if fiducial_fallback:
-            maps = reconstruct_warp_from_fiducials(np.asarray(warpedData))
+            maps = reconstruct_warp_from_fiducials(
+                np.asarray(warpedData), notch_target_row=notch_target_row
+            )
             if maps is not None:
                 print("warpcorr: using fiducial-reconstructed warp (comb + notch tracers)")
                 return _forward_splat(np.asarray(warpedData, dtype=float), *maps)
