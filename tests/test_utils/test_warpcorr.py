@@ -103,3 +103,30 @@ def test_identity_fallback_when_tracers_absent():
     noise = rng.normal(0.0, 1.0, (256, 256))
     out = perform_warp_correction(noise, fiducial_fallback=True)
     np.testing.assert_array_equal(out, noise)
+
+
+def test_background_frame_reuses_signal_maps(frame):
+    """A tracer-free frame of the same shape (a background null shot) must be
+    dewarped with the maps cached from the signal frame — the reference
+    applied the same static maps to both frames."""
+    import tsadar_tpu.utils.process.warpcorr as wc
+
+    # populate the cache from the signal frame, as loadData would
+    out_sig = perform_warp_correction(frame, fiducial_fallback=True, notch_target_row=507.5)
+    assert not np.array_equal(out_sig, frame)
+
+    rng = np.random.default_rng(1)
+    bg = rng.normal(10.0, 2.0, frame.shape)  # no comb, no notch
+    out_bg = perform_warp_correction(bg, fiducial_fallback=True)
+    expected = _forward_splat(bg, *wc._FIDUCIAL_MAPS_CACHE[("EPW", frame.shape)])
+    np.testing.assert_array_equal(out_bg, expected)
+    assert not np.array_equal(out_bg, bg)
+
+
+def test_fiducial_t0_anchors_on_first_chain_tooth(frame):
+    """EPW t0 must anchor on the first real pip (col ~450), not the bright
+    non-pip feature 182 px earlier that find_peaks returns first."""
+    from tsadar_tpu.utils.data_handling.load_ts_data import _fiducial_t0
+
+    t0 = _fiducial_t0(frame, "epw")
+    assert abs(t0 - (450.3 - 95)) < 5

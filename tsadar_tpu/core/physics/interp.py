@@ -348,6 +348,11 @@ def interp1d_cubic_matmul(xq, x, f, extrap=True):
     ``_cubic_matmul_core_bwd``.
 
     Intended for moderate N (the EDF velocity grid); W materializes [Q, N].
+
+    NOTE: like every custom-VJP kernel in this module, the cotangent w.r.t.
+    the GRID ``x`` is not propagated (returned as zeros) — grids are static
+    throughout this codebase.  Differentiating w.r.t. x yields silently zero
+    gradients; use ``interp1d_cubic(..., uniform=True)`` if you need them.
     """
     xq = jnp.asarray(xq)
     out = _cubic_matmul_core(xq, x, f)

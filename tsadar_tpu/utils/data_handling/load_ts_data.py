@@ -15,18 +15,27 @@ import numpy as np
 from scipy.signal import find_peaks
 
 from .hdf4 import read_sds
-from ..process.warpcorr import perform_warp_correction
+from ..process.warpcorr import (
+    EPW5_COMB_ROWS,
+    _COMB_PROMINENCE,
+    _COMB_WIDTH,
+    _comb_tooth_centers,
+    perform_warp_correction,
+)
 
 _EXTERNAL = os.path.join(os.path.dirname(__file__), "..", "..", "external")
 
 # Fiducial comb geometry (streak cameras): the comb lives in a fixed row band of
 # the image, and t0 sits a fixed number of pixels left of the first comb tooth.
+# The EPW constants are shared with warpcorr (single source of truth: the
+# dewarp anchors its time map at the first chain tooth precisely so that this
+# module's t0 detection on the dewarped frame is unchanged).
 _FIDUCIAL = {
     "iaw": {"rows": slice(850, 950), "t0_offset_px": 164},
-    "epw": {"rows": slice(0, 100), "t0_offset_px": 95},
+    "epw": {"rows": EPW5_COMB_ROWS, "t0_offset_px": 95},
 }
-_PEAK_PROMINENCE = 1000
-_PEAK_WIDTH = 10
+_PEAK_PROMINENCE = _COMB_PROMINENCE
+_PEAK_WIDTH = _COMB_WIDTH
 
 # Diagnostic type is encoded in the filename: streaked instruments have no
 # "ccd" tag; ATS files are the angular spectrometer.
@@ -57,10 +66,23 @@ def _signal_frame(path):
 def _fiducial_t0(image, channel):
     """Locate t0 from the timing-fiducial comb; returns a pixel offset.
 
-    The comb is summed over its row band; the first peak's mid-point (between
+    The comb is summed over its row band; the first tooth's mid-point (between
     its interpolated half-height edges) minus the per-channel offset is t0.
+
+    EPW: anchors on the first CHAIN-FILTERED tooth (warpcorr's pip-spacing
+    filter) rather than the raw first peak — the validated shot's comb band
+    carries a bright non-pip feature 182 px (1.66 pip intervals) before the
+    first real pip, which would shift t0 ~910 ps.  (Deliberate deviation from
+    the reference, which takes the raw first peak; documented because the
+    offset constants are shared.)  IAW keeps the raw first peak: its pip
+    interval in pixels depends on the IAW camera's sweep calibration, which
+    this module does not assume.
     """
     geo = _FIDUCIAL[channel]
+    if channel == "epw":
+        teeth = _comb_tooth_centers(image, comb_rows=geo["rows"])
+        if teeth is not None:
+            return round(float(teeth[0]) - geo["t0_offset_px"])
     comb = image[geo["rows"], :].sum(axis=0)
     _, props = find_peaks(comb, prominence=_PEAK_PROMINENCE, width=_PEAK_WIDTH)
     first_tooth = 0.5 * (props["left_ips"][0] + props["right_ips"][0])
@@ -136,10 +158,12 @@ def loadData(sNum, sDay, loadspecs, custom_path=None):
                 # closer to the reference's dewarped-data behavior than the
                 # identity fallback; falls back to identity if tracers are
                 # absent.  Disable with extraoptions.fiducial_dewarp: false.
+                shape = eDat.shape
                 eDat = perform_warp_correction(
                     eDat,
                     fiducial_fallback=loadspecs.get("fiducial_dewarp", True),
-                    notch_target_row=_notch_target_row(sNum, eDat.shape),
+                    # lazy: evaluated only if the reconstruction actually runs
+                    notch_target_row=lambda: _notch_target_row(sNum, shape),
                 )
             elif spec_type == "imaging":
                 eDat = np.rot90(np.squeeze(eDat), 3)

@@ -116,10 +116,14 @@ def _notch_center(prof, band=EPW5_NOTCH_BAND):
     """Half-depth center row of the notch dark band in one column profile.
 
     Returns None when the surrounding plateaus are too dim to give reliable
-    edges.  The two half-depth crossings are biased inward by the filter's
-    finite OD slope, but symmetrically — their midpoint is unbiased.
+    edges (or the frame is too short to contain the band).  The two
+    half-depth crossings are biased inward by the filter's finite OD slope,
+    but symmetrically — their midpoint is unbiased.
     """
     lo, hi = band
+    hi = min(hi, len(prof))
+    if hi - lo < 40:
+        return None
     p = np.convolve(prof[lo:hi].astype(float), np.ones(5) / 5, mode="same")
     imin = int(np.argmin(p))
     if imin < 10 or imin > len(p) - 10:
@@ -199,6 +203,16 @@ def reconstruct_warp_from_fiducials(
     return typix, txpix
 
 
+# Last successful fiducial reconstruction, keyed by (instrument, frame shape).
+# Background-shot frames (null shots) carry the timing comb but no scattered
+# light, so their notch tracer is absent; the reference applied the SAME
+# static maps to signal and background frames, and reusing the signal frame's
+# reconstruction (prepare loads the signal before the background) preserves
+# that registration instead of leaving the background un-dewarped against a
+# stretched signal.
+_FIDUCIAL_MAPS_CACHE = {}
+
+
 def perform_warp_correction(
     warpedData,
     instrument="EPW",
@@ -207,15 +221,39 @@ def perform_warp_correction(
     fiducial_fallback=False,
     notch_target_row=None,
 ):
+    """Dewarp one streak frame.
+
+    ``notch_target_row`` may be a value or a zero-arg callable (evaluated only
+    when the fiducial reconstruction actually runs).  Any failure inside the
+    fiducial path degrades to identity — it must never propagate into the
+    loader's channel-level exception handling, which would silently drop the
+    whole channel.
+    """
     warp1x, warp1y = _load_warp_maps(instrument, sweepSpeed)
     if warp1x is None:
         if fiducial_fallback:
-            maps = reconstruct_warp_from_fiducials(
-                np.asarray(warpedData), notch_target_row=notch_target_row
-            )
+            key = (instrument, np.shape(warpedData))
+            try:
+                if callable(notch_target_row):
+                    notch_target_row = notch_target_row()
+                maps = reconstruct_warp_from_fiducials(
+                    np.asarray(warpedData), notch_target_row=notch_target_row
+                )
+            except Exception as e:
+                print(f"warpcorr: fiducial reconstruction failed ({e}); continuing without it")
+                maps = None
             if maps is not None:
+                _FIDUCIAL_MAPS_CACHE[key] = maps
                 print("warpcorr: using fiducial-reconstructed warp (comb + notch tracers)")
                 return _forward_splat(np.asarray(warpedData, dtype=float), *maps)
+            if key in _FIDUCIAL_MAPS_CACHE:
+                print(
+                    "warpcorr: tracers not found in this frame (background shot?); "
+                    "reusing the maps reconstructed from the signal frame"
+                )
+                return _forward_splat(
+                    np.asarray(warpedData, dtype=float), *_FIDUCIAL_MAPS_CACHE[key]
+                )
             print("warpcorr: fiducial tracers not found; returning data without dewarp")
             return warpedData
         print(
