@@ -106,3 +106,60 @@ def test_sharded_training_step_matches_unsharded():
     assert_allclose(float(v_sh), float(v_ref), rtol=1e-12)
     for a, b_ in zip(jax.tree.leaves(dp_sh), jax.tree.leaves(dp_ref)):
         assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_train_step_is_actually_partitioned():
+    """GSPMD must PARTITION the training step, not elide the shardings.
+
+    Asserts the compiled program (a) keeps the batch-axis input shardings
+    (each device holds 1/8 of the lineout axis), and (b) contains cross-device
+    collectives (the scalar loss and the shared-static contributions need an
+    all-reduce over the mesh).  Guards against a silent regression to a fully
+    replicated program, which bit-exactness tests alone cannot catch.
+    """
+    import optax
+
+    from __graft_entry__ import _make_batch, _small_config
+    from tsadar_tpu.core.params import ThomsonParams, get_filter_spec, partition
+    from tsadar_tpu.inverse.loss import LossFunction
+    from tsadar_tpu.utils.data_handling.calibration import get_scattering_angles
+
+    n = 8
+    cfg = _small_config(n)
+    sas = get_scattering_angles(cfg)
+    batch = _make_batch(n)
+    loss_fn = LossFunction(cfg, sas, batch)
+    ts_params = ThomsonParams.create(cfg["parameters"], num_params=n, batch=True, activate=True)
+    diff0, static = partition(ts_params, get_filter_spec(cfg["parameters"], ts_params))
+
+    mesh = make_mesh(n)
+    batch = shard_batch(batch, mesh)
+    diff0 = shard_params_batch_axis(diff0, mesh, n)
+    static = shard_params_batch_axis(static, mesh, n)
+
+    opt = optax.adam(1e-2)
+    state = opt.init(diff0)
+
+    def train_step(dp, st, b):
+        (value, _), grad = jax.value_and_grad(loss_fn.__loss__, has_aux=True)(dp, static, b)
+        updates, st = opt.update(grad, st)
+        return optax.apply_updates(dp, updates), st, value
+
+    compiled = jax.jit(train_step).lower(diff0, state, batch).compile()
+
+    # (a) the batch data stays sharded along the lineout axis
+    in_shardings = jax.tree_util.tree_leaves(
+        compiled.input_shardings[0], is_leaf=lambda x: hasattr(x, "device_set")
+    )
+    assert any(len(s.device_set) == n for s in in_shardings)
+    e_shard = batch["e_data"].sharding
+    shard_shape = e_shard.shard_shape(batch["e_data"].shape)
+    assert shard_shape[0] == 1  # 8-row batch split one lineout per device
+
+    # (b) cross-device collectives exist in the partitioned module
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo, "no all-reduce in the sharded train step HLO"
+
+    # and it runs
+    dp, state, value = compiled(diff0, state, batch)
+    assert np.isfinite(float(value))
