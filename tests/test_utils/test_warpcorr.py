@@ -108,7 +108,9 @@ def test_identity_fallback_when_tracers_absent():
 def test_background_frame_reuses_signal_maps(frame):
     """A tracer-free frame of the same shape (a background null shot) must be
     dewarped with the maps cached from the signal frame — the reference
-    applied the same static maps to both frames."""
+    applied the same static maps to both frames.  Reuse requires a MATCHING
+    spectral anchor (same calibration range); an unrelated shot from a
+    different range must get identity instead of another shot's registration."""
     import tsadar_tpu.utils.process.warpcorr as wc
 
     # populate the cache from the signal frame, as loadData would
@@ -117,10 +119,15 @@ def test_background_frame_reuses_signal_maps(frame):
 
     rng = np.random.default_rng(1)
     bg = rng.normal(10.0, 2.0, frame.shape)  # no comb, no notch
-    out_bg = perform_warp_correction(bg, fiducial_fallback=True)
-    expected = _forward_splat(bg, *wc._FIDUCIAL_MAPS_CACHE[("EPW", frame.shape)])
+    # background shot: same calibration range -> same anchor -> maps reused
+    out_bg = perform_warp_correction(bg, fiducial_fallback=True, notch_target_row=507.5)
+    expected = _forward_splat(bg, *wc._FIDUCIAL_MAPS_CACHE[("EPW", frame.shape)][0])
     np.testing.assert_array_equal(out_bg, expected)
     assert not np.array_equal(out_bg, bg)
+
+    # different calibration range (e.g. shot 111411's anchor): no reuse
+    out_other = perform_warp_correction(bg, fiducial_fallback=True, notch_target_row=512.2)
+    np.testing.assert_array_equal(out_other, bg)
 
 
 def test_fiducial_t0_anchors_on_first_chain_tooth(frame):

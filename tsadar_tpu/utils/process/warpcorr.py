@@ -170,7 +170,7 @@ def reconstruct_warp_from_fiducials(
     and cannot recover.
     """
     n0, n1 = img.shape
-    teeth = _comb_tooth_centers(img, comb_rows)
+    teeth = _comb_tooth_centers(img, comb_rows, pip_px=pip_px)
     if teeth is None:
         return None
 
@@ -203,14 +203,24 @@ def reconstruct_warp_from_fiducials(
     return typix, txpix
 
 
-# Last successful fiducial reconstruction, keyed by (instrument, frame shape).
-# Background-shot frames (null shots) carry the timing comb but no scattered
-# light, so their notch tracer is absent; the reference applied the SAME
-# static maps to signal and background frames, and reusing the signal frame's
-# reconstruction (prepare loads the signal before the background) preserves
-# that registration instead of leaving the background un-dewarped against a
-# stretched signal.
+# Last successful fiducial reconstruction, keyed by (instrument, frame shape)
+# and stored WITH the spectral anchor it was built for.  Background-shot
+# frames (null shots) carry the timing comb but no scattered light, so their
+# notch tracer is absent; the reference applied the SAME static maps to
+# signal and background frames, and reusing the signal frame's reconstruction
+# (prepare loads the signal before the background) preserves that
+# registration instead of leaving the background un-dewarped against a
+# stretched signal.  Reuse REQUIRES a matching spectral anchor: a background
+# shot sits in the same calibration range as its signal (same target row),
+# while an unrelated later shot from a different range does not — it must get
+# the identity fallback, not another shot's registration.
 _FIDUCIAL_MAPS_CACHE = {}
+
+
+def _anchors_match(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    return abs(a - b) < 1.0
 
 
 def perform_warp_correction(
@@ -227,15 +237,20 @@ def perform_warp_correction(
     when the fiducial reconstruction actually runs).  Any failure inside the
     fiducial path degrades to identity — it must never propagate into the
     loader's channel-level exception handling, which would silently drop the
-    whole channel.
+    whole channel.  The fiducial reconstruction implements the EPW 5 ns
+    streak geometry only and is skipped for other instruments.
     """
     warp1x, warp1y = _load_warp_maps(instrument, sweepSpeed)
     if warp1x is None:
-        if fiducial_fallback:
+        if fiducial_fallback and instrument == "EPW":
             key = (instrument, np.shape(warpedData))
-            try:
-                if callable(notch_target_row):
+            if callable(notch_target_row):
+                try:
                     notch_target_row = notch_target_row()
+                except Exception as e:
+                    print(f"warpcorr: spectral anchor unavailable ({e}); relative anchoring")
+                    notch_target_row = None
+            try:
                 maps = reconstruct_warp_from_fiducials(
                     np.asarray(warpedData), notch_target_row=notch_target_row
                 )
@@ -243,17 +258,16 @@ def perform_warp_correction(
                 print(f"warpcorr: fiducial reconstruction failed ({e}); continuing without it")
                 maps = None
             if maps is not None:
-                _FIDUCIAL_MAPS_CACHE[key] = maps
+                _FIDUCIAL_MAPS_CACHE[key] = (maps, notch_target_row)
                 print("warpcorr: using fiducial-reconstructed warp (comb + notch tracers)")
                 return _forward_splat(np.asarray(warpedData, dtype=float), *maps)
-            if key in _FIDUCIAL_MAPS_CACHE:
+            cached = _FIDUCIAL_MAPS_CACHE.get(key)
+            if cached is not None and _anchors_match(cached[1], notch_target_row):
                 print(
                     "warpcorr: tracers not found in this frame (background shot?); "
                     "reusing the maps reconstructed from the signal frame"
                 )
-                return _forward_splat(
-                    np.asarray(warpedData, dtype=float), *_FIDUCIAL_MAPS_CACHE[key]
-                )
+                return _forward_splat(np.asarray(warpedData, dtype=float), *cached[0])
             print("warpcorr: fiducial tracers not found; returning data without dewarp")
             return warpedData
         print(
