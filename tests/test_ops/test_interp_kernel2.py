@@ -1,0 +1,28 @@
+"""Interpret-mode checks for the take-2 Pallas interp kernel (wired on TPU)."""
+
+import numpy as np
+from numpy.testing import assert_allclose
+
+import jax
+from jax import numpy as jnp
+
+from tsadar_tpu.ops.interp_kernel2 import QT, lin_interp_pallas2, segments_for_pallas2
+from tsadar_tpu.core.physics.interp import interp1d_linear_uniform
+
+
+def test_lin_interp_pallas2_matches_uniform_interp():
+    rng = np.random.default_rng(0)
+    B, Q, n = 3, 2 * QT, 2043
+    x = jnp.asarray(np.linspace(-8.2, 8.2, n), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-9, 9, (B, Q)), jnp.float32)  # incl. out-of-range
+    meta = jnp.stack([x[0], x[1] - x[0], jnp.asarray(float(n), jnp.float32)])
+
+    out, diff = lin_interp_pallas2(q, segments_for_pallas2(t), meta, interpret=True)
+    ref = jax.vmap(lambda a, b: interp1d_linear_uniform(a, x, b))(q, t)
+    assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=1e-6)
+
+    pos = jnp.clip((q - x[0]) / (x[1] - x[0]), 0.0, n - 1.0)
+    i0 = np.minimum(np.floor(np.asarray(pos)).astype(int), n - 2)
+    want = np.take_along_axis(np.asarray(t), i0 + 1, 1) - np.take_along_axis(np.asarray(t), i0, 1)
+    assert_allclose(np.asarray(diff), want, rtol=0, atol=1e-6)

@@ -1,0 +1,124 @@
+"""Pallas TPU kernel, take 2: blocked linear interpolation in XLA's layout.
+
+The round-1 kernel (``interp_kernel.py``) lost 3.5x to the XLA blocked
+formulation; its autopsy pointed at the 3D ``[SUB, K, LANE]`` one-hot layout
+(contraction on a middle dimension forces Mosaic relayouts) and f32-HIGHEST
+dots (6 MXU passes).  This version mirrors what the XLA lowering actually
+does — the profiler shows XLA computes ``[3*(blk+1), K] @ [K, Q]`` with
+queries on LANES and the tiny segment axis on sublanes, in bf16 with f32
+accumulation — and keeps the whole chain (one-hot, segment matmul, split
+sum, within-segment select, lerp) in VMEM, eliminating the [Q, 27] f32 HBM
+round trip that makes the XLA version bandwidth-bound.
+
+Layout per grid step (one query tile QT, one batch row):
+  - one-hot [K, QT] bf16: K on sublanes, queries on lanes (iota over dim 0);
+  - segcatT [3*(blk+1), K] bf16 (host-transposed segments, bf16-split);
+  - S3 [3*(blk+1), QT] f32 = dot(segcatT, one-hot) — MXU, f32 accumulate;
+  - split sum + within-segment select + lerp: elementwise on [*, QT].
+
+Measured on v5e (bench_interp_kernel2.py): see CLAUDE.md / docs for the
+verdict and whether this is wired into the hot path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLK = 8  # table block width (= segment columns), as in interp._BLOCK
+QT = 2048  # query lanes per program
+
+
+def _kernel(meta_ref, q_ref, segt_ref, o_ref, d_ref):
+    x0 = meta_ref[0]
+    dx = meta_ref[1]
+    n = meta_ref[2]
+
+    segt = segt_ref[0]  # [3*(_BLK+1), K] bf16
+    k = segt.shape[1]
+    q = q_ref[0, 0]  # [1, QT] f32 -> use row 0
+    qrow = q[0]
+
+    pos = jnp.clip((qrow - x0) / dx, 0.0, n - 1.0)
+    i0f = jnp.minimum(jnp.floor(pos), n - 2.0)
+    w = (pos - i0f).astype(jnp.float32)
+    i0 = i0f.astype(jnp.int32)
+    blk = i0 // _BLK
+    lo = i0 - blk * _BLK
+
+    # one-hot [K, QT]: K on sublanes, queries on lanes
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (k, QT), 0)
+    oh = (kiota == blk[None, :]).astype(jnp.bfloat16)
+
+    c = _BLK + 1
+    # precision pinned DEFAULT: the diagnostic traces its model under
+    # jax.default_matmul_precision("highest"), and Mosaic rejects an
+    # fp32-precision tpu.matmul on bf16 operands ("Bad lhs type"); this dot
+    # is exact anyway (bf16 one-hot x bf16-split values, f32 accumulate)
+    s3 = jax.lax.dot_general(
+        segt,
+        oh,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [3c, QT]
+    s = s3[:c] + s3[c : 2 * c] + s3[2 * c :]  # [c, QT] f32
+
+    jiota = jax.lax.broadcasted_iota(jnp.int32, (_BLK, QT), 0)
+    loh = (jiota == lo[None, :]).astype(jnp.float32)  # [blk, QT]
+    f0 = jnp.sum(loh * s[:_BLK], axis=0)
+    f1 = jnp.sum(loh * s[1:], axis=0)
+    o_ref[0, 0] = (f0 * (1.0 - w) + f1 * w)[None, :]
+    d_ref[0, 0] = (f1 - f0)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lin_interp_pallas2(q, segcat_t, meta, interpret=False):
+    """(values, f[i0+1]-f[i0]) for per-row tables at per-row queries.
+
+    Args:
+      q: [B, Q] queries, Q % QT == 0.
+      segcat_t: [B, 3*(_BLK+1), K] bf16 — transposed, bf16-split segment
+        tables (build with ``segments_for_pallas2``).
+      meta: jnp.stack([x0, dx, n]) shared across rows.
+    """
+    B, Q = q.shape
+    three_c, k = segcat_t.shape[1:]
+    nt = Q // QT
+    q4 = q.reshape(B, nt, 1, QT)
+    out, diff = pl.pallas_call(
+        _kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, three_c, k), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nt, 1, QT), q.dtype),
+            jax.ShapeDtypeStruct((B, nt, 1, QT), q.dtype),
+        ),
+        interpret=interpret,
+    )(meta, q4, segcat_t)
+    return out.reshape(B, Q), diff.reshape(B, Q)
+
+
+def segments_for_pallas2(f):
+    """[B, 3*(_BLK+1), K] bf16 transposed split segments of tables f [B, n].
+
+    Same segment/overlap structure and 3-term bf16 split as the XLA blocked
+    path (interp._blocked_segments/_bf16_split), transposed so the kernel's
+    dot contracts over K with queries on lanes.
+    """
+    from ..core.physics.interp import _bf16_split, _blocked_segments
+
+    n = f.shape[-1]
+    seg, nblk = _blocked_segments(f, n, _BLK)  # [B, K, blk+1]
+    segcat = jnp.concatenate(_bf16_split(seg, 3), axis=-1)  # [B, K, 3*(blk+1)]
+    return jnp.swapaxes(segcat, -1, -2)  # [B, 3*(blk+1), K]
