@@ -59,3 +59,27 @@ dev = float(jnp.max(jnp.abs(jnp.asarray(got) - jnp.asarray(ref))))
 print(f"xla blocked fwd:   {t_xla:7.2f} ms")
 print(f"pallas2 fwd:       {t_pal:7.2f} ms")
 print(f"max abs deviation: {dev:.3e}")
+
+
+# --- fwd+bwd: the wired custom-VJP path dispatches fwd AND bwd to Pallas on
+# TPU; compare against the XLA formulations by toggling the dispatch gate.
+import tsadar_tpu.core.physics.interp as interp_mod  # noqa: E402
+
+g_out = jnp.asarray(rng.standard_normal((B, Q)), jnp.float32)
+
+
+def vjp_tables(q_, f_, g_):
+    _, vjp = jax.vjp(lambda t_: xla_fwd(q_, t_), f_)
+    return vjp(g_)[0]
+
+
+_gate = interp_mod._use_pallas2
+interp_mod._use_pallas2 = lambda xq, f: False
+t_xla_vjp, ref_df = best_of(vjp_tables, q, f, g_out)
+interp_mod._use_pallas2 = _gate
+t_pal_vjp, got_df = best_of(vjp_tables, q, f, g_out)
+dev_df = float(jnp.max(jnp.abs(jnp.asarray(got_df) - jnp.asarray(ref_df))))
+scale = float(jnp.max(jnp.abs(jnp.asarray(ref_df))))
+print(f"xla fwd+bwd (df):  {t_xla_vjp:7.2f} ms")
+print(f"pallas2 fwd+bwd:   {t_pal_vjp:7.2f} ms")
+print(f"df max abs dev:    {dev_df:.3e}  (scale {scale:.3e})")

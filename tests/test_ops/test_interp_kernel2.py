@@ -6,8 +6,13 @@ from numpy.testing import assert_allclose
 import jax
 from jax import numpy as jnp
 
-from tsadar_tpu.ops.interp_kernel2 import QT, lin_interp_pallas2, segments_for_pallas2
-from tsadar_tpu.core.physics.interp import interp1d_linear_uniform
+from tsadar_tpu.ops.interp_kernel2 import (
+    QT,
+    lin_interp_pallas2,
+    lin_interp_pallas2_bwd,
+    segments_for_pallas2,
+)
+from tsadar_tpu.core.physics.interp import interp1d_linear_blocked, interp1d_linear_uniform
 
 
 def test_lin_interp_pallas2_matches_uniform_interp():
@@ -26,3 +31,32 @@ def test_lin_interp_pallas2_matches_uniform_interp():
     i0 = np.minimum(np.floor(np.asarray(pos)).astype(int), n - 2)
     want = np.take_along_axis(np.asarray(t), i0 + 1, 1) - np.take_along_axis(np.asarray(t), i0, 1)
     assert_allclose(np.asarray(diff), want, rtol=0, atol=1e-6)
+
+
+def test_bwd_kernel_matches_xla_table_cotangent():
+    """Fused backward kernel vs the XLA custom-VJP table cotangent (CPU path)."""
+    rng = np.random.default_rng(1)
+    B, Q, n, blk = 3, 2 * QT, 2043, 8
+    k = -(-(n - 1) // blk)
+    c = blk + 1
+    x = jnp.asarray(np.linspace(-8.2, 8.2, n), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-9, 9, (B, Q)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, Q)), jnp.float32)
+    meta = jnp.stack([x[0], x[1] - x[0], jnp.asarray(float(n), jnp.float32)])
+
+    D2 = lin_interp_pallas2_bwd(q, g, meta, k, interpret=True)
+    dseg = np.asarray(D2[..., :c] + D2[..., c:])  # [B, K, blk+1]
+    # fold overlapping segments back to the table, as interp._blocked_vjp_bwd
+    got = np.zeros((B, k * blk + 1))
+    got[:, : k * blk] = dseg[..., :blk].reshape(B, -1)
+    got[:, blk::blk] += dseg[..., blk]
+    got = got[:, :n]
+
+    # reference: the XLA custom-VJP path (CPU dispatch keeps the XLA branch)
+    _, vjp = jax.vjp(
+        lambda t_: jax.vmap(lambda a, b: interp1d_linear_blocked(a, x, b))(q, t_), t
+    )
+    (want,) = vjp(g)
+    scale = np.abs(np.asarray(want)).max()
+    assert_allclose(got, np.asarray(want), rtol=0, atol=3e-5 * scale)

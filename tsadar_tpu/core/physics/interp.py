@@ -233,33 +233,41 @@ def _blocked_vjp_bwd(res, g):
 
     dxq = jnp.where(inside, gq * diffq / dx, 0.0).reshape(jnp.shape(xq)).astype(xq.dtype)
 
-    # table cotangent: per-query segment cotangent, folded back through the
-    # transposed block one-hot.  The one-hot is exact in bf16; the fractional
-    # cotangent is hi/lo-split so the bf16 matmul recovers it to ~2^-16 —
-    # cheaper than an f32 HIGHEST contraction and ample for gradients.
-    # (Measured on v5e, bench_blocked_bwd.py: a single-term bf16 cotangent
-    # looks cheaper on paper but fuses the cotangent build into the transpose
-    # matmul's fusion, serializing VPU work — 25.1 ms vs 16.3 ms fwd+bwd at
-    # production shapes; split2 / barrier / f32-HIGHEST all land ~16 ms, and
-    # the split keeps full gradient precision for free.)
-    jj = jnp.arange(block + 1, dtype=jnp.int32)[None, :]
-    cot = gq[:, None] * (
-        (lo[:, None] == jj) * (1.0 - w[:, None]) + ((lo + 1)[:, None] == jj) * w[:, None]
-    ).astype(f.dtype)  # [Q, block+1]
-    ch, cl = _bf16_split(cot, 2)
     nblk = -(-(n - 1) // block)
-    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
-    dseg = D2[..., : block + 1] + D2[..., block + 1 :]  # [K, block+1]
+    if _use_pallas2(xq, f):
+        # fused Pallas kernel: cotangent build + hi/lo split + transposed
+        # one-hot contraction all in VMEM (ops.interp_kernel2._bwd_kernel)
+        dseg = _pallas2_bwd_dseg(xq, x, f, gq, nblk)  # [K, block+1]
+    else:
+        # table cotangent: per-query segment cotangent, folded back through the
+        # transposed block one-hot.  The one-hot is exact in bf16; the fractional
+        # cotangent is hi/lo-split so the bf16 matmul recovers it to ~2^-16 —
+        # cheaper than an f32 HIGHEST contraction and ample for gradients.
+        # (Measured on v5e, bench_blocked_bwd.py: a single-term bf16 cotangent
+        # looks cheaper on paper but fuses the cotangent build into the transpose
+        # matmul's fusion, serializing VPU work — 25.1 ms vs 16.3 ms fwd+bwd at
+        # production shapes; split2 / barrier / f32-HIGHEST all land ~16 ms, and
+        # the split keeps full gradient precision for free.)
+        jj = jnp.arange(block + 1, dtype=jnp.int32)[None, :]
+        cot = gq[:, None] * (
+            (lo[:, None] == jj) * (1.0 - w[:, None]) + ((lo + 1)[:, None] == jj) * w[:, None]
+        ).astype(f.dtype)  # [Q, block+1]
+        ch, cl = _bf16_split(cot, 2)
+        onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+        D2 = jnp.matmul(
+            onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype
+        )
+        dseg = D2[..., : block + 1] + D2[..., block + 1 :]  # [K, block+1]
     # fold overlapping segments: seg[k, j] -> fpad[block*k + j]
-    npad = nblk * block + 1
-    dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((1,), f.dtype)], axis=-1)
-    dfpad = dfpad.at[block::block].add(dseg[:, block])
+    dfpad = jnp.concatenate([dseg[..., :block].reshape(-1), jnp.zeros((1,), f.dtype)], axis=-1)
+    dfpad = dfpad.at[block::block].add(dseg[..., block])
     return dxq, jnp.zeros_like(x), dfpad[:n]
 
 
 interp1d_linear_blocked.defvjp(_blocked_vjp_fwd, _blocked_vjp_bwd)
 
+
+import functools as _functools_blocked
 
 from jax import custom_batching as _custom_batching_blocked
 
@@ -305,6 +313,51 @@ def _pallas2_fwd(xq, x, f):
     if pad:
         out, diff = out[:Q], diff[:Q]
     return out.reshape(jnp.shape(xq)), diff
+
+
+@_functools_blocked.lru_cache(maxsize=None)
+def _pallas2_bwd_core_for(nblk):
+    """custom_vmap-wrapped fused table-cotangent kernel for K=nblk segments.
+
+    Cached per segment count because the kernel's output shape is static in K;
+    same vmap-routing rationale as ``_pallas2_core``."""
+
+    @_custom_batching_blocked.custom_vmap
+    def core(qf, gf, meta):
+        from ...ops.interp_kernel2 import lin_interp_pallas2_bwd
+
+        return lin_interp_pallas2_bwd(qf[None, :], gf[None, :], meta, nblk)[0]
+
+    @core.def_vmap
+    def _vmap(axis_size, in_batched, qf, gf, meta):
+        from ...ops.interp_kernel2 import lin_interp_pallas2_bwd
+
+        qb, gb, mb = in_batched
+        assert not mb, "grid meta must be shared across the batch"
+        if not qb:
+            qf = jnp.broadcast_to(qf[None, :], (axis_size,) + qf.shape)
+        if not gb:
+            gf = jnp.broadcast_to(gf[None, :], (axis_size,) + gf.shape)
+        return lin_interp_pallas2_bwd(qf, gf, meta, nblk), True
+
+    return core
+
+
+def _pallas2_bwd_dseg(xq, x, f, gq, nblk):
+    """dseg [K, block+1] via the fused Pallas backward kernel."""
+    from ...ops.interp_kernel2 import QT
+
+    qf = xq.reshape(-1)
+    gf = gq.reshape(-1).astype(jnp.float32)
+    Q = qf.shape[0]
+    pad = -Q % QT
+    if pad:
+        qf = jnp.concatenate([qf, jnp.full((pad,), x[0], qf.dtype)])
+        gf = jnp.concatenate([gf, jnp.zeros((pad,), gf.dtype)])
+    meta = jnp.stack([x[0], x[1] - x[0], jnp.asarray(float(x.shape[0]), f.dtype)])
+    D2 = _pallas2_bwd_core_for(nblk)(qf, gf, meta)  # [K, 2*(block+1)]
+    c = _BLOCK + 1
+    return D2[..., :c] + D2[..., c:]
 
 
 def _hermite_eval(t, h, f0, f1, d0, d1):

@@ -109,6 +109,95 @@ def lin_interp_pallas2(q, segcat_t, meta, interpret=False):
     return out.reshape(B, Q), diff.reshape(B, Q)
 
 
+def _bwd_kernel(meta_ref, q_ref, g_ref, d2_ref):
+    """Accumulate the table cotangent D2[K, 2c] over query tiles.
+
+    Same math as ``interp._blocked_vjp_bwd``'s cotangent build + transpose
+    matmul, fused: the [Q, c] fractional cotangent and its hi/lo bf16 split
+    never leave VMEM (they are [512, 10240, 9] bf16 x2 HBM round trips in the
+    XLA lowering), and the transposed one-hot contraction accumulates into a
+    VMEM-resident [K, 2c] block across the query-tile grid axis.
+    """
+    i = pl.program_id(1)
+    x0 = meta_ref[0]
+    dx = meta_ref[1]
+    n = meta_ref[2]
+
+    qrow = q_ref[0, 0][0]  # [QT]
+    grow = g_ref[0, 0][0]  # [QT]
+    pos = jnp.clip((qrow - x0) / dx, 0.0, n - 1.0)
+    i0f = jnp.minimum(jnp.floor(pos), n - 2.0)
+    w = (pos - i0f).astype(jnp.float32)
+    i0 = i0f.astype(jnp.int32)
+    blk = i0 // _BLK
+    lo = i0 - blk * _BLK
+
+    c = _BLK + 1
+    jiota = jax.lax.broadcasted_iota(jnp.int32, (c, QT), 0)
+    wj = jnp.where(jiota == lo[None, :], 1.0 - w[None, :], 0.0) + jnp.where(
+        jiota == (lo + 1)[None, :], w[None, :], 0.0
+    )
+    cot = grow[None, :] * wj  # [c, QT] f32
+    # hi/lo bf16 split via plain converts: Mosaic compiles them directly (the
+    # f32->bf16->f32 excess-precision elision that breaks this pattern in XLA
+    # HLO — interp._bf16_split — is an XLA simplifier pass, not present here)
+    ch = cot.astype(jnp.bfloat16)
+    cl = (cot - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+    catcot = jnp.concatenate([ch, cl], axis=0)  # [2c, QT]
+
+    k = d2_ref.shape[1]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (k, QT), 0)
+    oh = (kiota == blk[None, :]).astype(jnp.bfloat16)  # [K, QT]
+
+    part = jax.lax.dot_general(
+        oh,
+        catcot,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [K, 2c]
+
+    @pl.when(i == 0)
+    def _init():
+        d2_ref[0] = part
+
+    @pl.when(i != 0)
+    def _acc():
+        d2_ref[0] += part
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def lin_interp_pallas2_bwd(q, g, meta, k, interpret=False):
+    """Table cotangent D2 [B, K, 2*(_BLK+1)] for per-row queries/cotangents.
+
+    ``sum over the hi+lo halves`` gives dseg [B, K, _BLK+1]; the caller folds
+    the overlapping segments back to the table (interp._blocked_vjp_bwd).
+
+    Args:
+      q: [B, Q] queries, Q % QT == 0 (pad with x0; pad cotangents with 0).
+      g: [B, Q] output cotangents.
+      meta: jnp.stack([x0, dx, n]) shared across rows.
+      k: number of table segments (static).
+    """
+    B, Q = q.shape
+    nt = Q // QT
+    q4 = q.reshape(B, nt, 1, QT)
+    g4 = g.reshape(B, nt, 1, QT)
+    c2 = 2 * (_BLK + 1)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k, c2), lambda b, i: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, k, c2), jnp.float32),
+        interpret=interpret,
+    )(meta, q4, g4)
+
+
 def segments_for_pallas2(f):
     """[B, 3*(_BLK+1), K] bf16 transposed split segments of tables f [B, n].
 
