@@ -1,0 +1,49 @@
+"""Direct unit coverage of the 1D adam loop (reference loops.py:59-95).
+
+The production adam path (`one_d_loop` with method: adam) is otherwise only
+exercised on TPU via the CLI/benchmarks — this pins its host-facing contract
+on CPU: runs, improves the loss, returns the best-so-far (tracked on device)
+as (float, ThomsonParams).
+"""
+
+import numpy as np
+
+from tsadar_tpu.core.params import ThomsonParams
+from tsadar_tpu.inverse.loops import _1d_adam_loop_
+from tsadar_tpu.inverse.loss import LossFunction
+from tsadar_tpu.utils.data_handling.calibration import get_scattering_angles
+
+import __graft_entry__ as ge
+
+
+def _setup(batch_size=2):
+    cfg = ge._small_config(batch_size)
+    cfg["optimizer"]["method"] = "adam"
+    cfg["optimizer"]["learning_rate"] = 1e-2
+    sas = get_scattering_angles(cfg)
+    batch = ge._make_batch(batch_size)
+    return cfg, LossFunction(cfg, sas, batch), batch
+
+
+def test_adam_loop_improves_and_returns_best():
+    cfg, loss_fn, batch = _setup()
+    cfg["optimizer"]["num_epochs"] = 8
+    best_loss, best_weights = _1d_adam_loop_(cfg, loss_fn, None, batch)
+
+    assert isinstance(best_loss, float) and np.isfinite(best_loss)
+    assert isinstance(best_weights, ThomsonParams)
+
+    # the returned loss must be the best over the epochs: re-running with
+    # fewer epochs from the same (deterministic) init can't beat it
+    cfg2, loss_fn2, batch2 = _setup()
+    cfg2["optimizer"]["num_epochs"] = 1
+    first_loss, _ = _1d_adam_loop_(cfg2, loss_fn2, None, batch2)
+    assert best_loss <= first_loss + 1e-12
+
+
+def test_adam_loop_zero_epochs_returns_init():
+    cfg, loss_fn, batch = _setup()
+    cfg["optimizer"]["num_epochs"] = 0
+    best_loss, best_weights = _1d_adam_loop_(cfg, loss_fn, None, batch)
+    assert best_loss == np.inf
+    assert isinstance(best_weights, ThomsonParams)

@@ -705,52 +705,70 @@ def interp1d_cubic_blocked(xq, x, f):
     f32 via a three-term split).  Custom VJP: both cotangents avoid gathers
     and scatters; the table cotangent is a transposed one-hot bf16 matmul with
     a hi/lo-split cotangent (~2^-17 relative).
+
+    On TPU (f32, >=1024 queries) both directions run as fused Pallas kernels
+    (``ops.interp_kernel2``, cubic variant) — bit-exact same math, but the
+    [Q, block+3] intermediates (taps, cotangent, hi/lo splits) never leave
+    VMEM, and the forward emits d(out)/dt so the backward's query cotangent
+    is one elementwise multiply.
     """
+    out, _ = _cubic_any_fwd(xq, x, f)
+    return out
+
+
+def _cubic_any_fwd(xq, x, f):
+    """(out, aux): aux is dout_dt [Q] on the Pallas path, the 4 taps on XLA's."""
+    if _use_pallas2(xq, f):
+        return _cubic_pallas2_fwd(xq, x, f)
     taps, i, blk, lo, t = _cubic_blocked_taps(xq, x, f, _CUBIC_BLOCK)
     n = x.shape[0]
     cw = _cubic_weights(t.astype(f.dtype), i == 0, i == n - 2)
     out = sum(c * tap for c, tap in zip(cw, taps))
-    return out.reshape(jnp.shape(xq))
+    return out.reshape(jnp.shape(xq)), taps
 
 
 def _cubic_blocked_vjp_fwd(xq, x, f):
-    taps, i, blk, lo, t = _cubic_blocked_taps(xq, x, f, _CUBIC_BLOCK)
-    n = x.shape[0]
-    cw = _cubic_weights(t.astype(f.dtype), i == 0, i == n - 2)
-    out = sum(c * tap for c, tap in zip(cw, taps))
-    return out.reshape(jnp.shape(xq)), (xq, x, f, taps)
+    out, aux = _cubic_any_fwd(xq, x, f)
+    return out, (xq, x, f, aux)
 
 
 def _cubic_blocked_vjp_bwd(res, g):
     block = _CUBIC_BLOCK
-    xq, x, f, taps = res
+    xq, x, f, aux = res
     n = x.shape[0]
     h = x[1] - x[0]
     i, blk, lo, t = _cubic_blocked_indices(xq, x, block)
-    first, last = i == 0, i == n - 2
     gq = g.reshape(-1).astype(f.dtype)
-    t = t.astype(f.dtype)
-
-    # query cotangent: analytic d/dt of the per-offset weights
-    dw = _cubic_weights(t, first, last, d=True)
-    dxq = (gq * sum(c * tap for c, tap in zip(dw, taps)) / h).reshape(jnp.shape(xq)).astype(xq.dtype)
-
-    # table cotangent: per-query (block+3)-wide stencil cotangent, folded back
-    # through the transposed block one-hot (exact bf16) with hi/lo-split values
-    # (a single-term bf16 cotangent measures ~1.5x SLOWER at production shapes
-    # — the cotangent build fuses into the transpose matmul and serializes its
-    # VPU work; see _blocked_vjp_bwd and bench_blocked_bwd.py)
-    cw = _cubic_weights(t, first, last)
-    jj = jnp.arange(block + 3, dtype=jnp.int32)[None, :]
-    cot = gq[:, None] * sum(
-        c[:, None] * (jj == (lo + k)[:, None]) for k, c in enumerate(cw)
-    ).astype(f.dtype)  # [Q, block+3]
-    ch, cl = _bf16_split(cot, 2)
     nblk = -(-(n - 1) // block)
-    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
-    c = block + 3
-    dseg = D2[..., :c] + D2[..., c:]  # [K, block+3]
+
+    if _use_pallas2(xq, f):
+        # aux = d(out)/dt from the forward kernel: query cotangent is elementwise
+        dxq = (gq * jnp.asarray(aux).reshape(-1) / h).reshape(jnp.shape(xq)).astype(xq.dtype)
+        dseg = _cubic_pallas2_bwd_dseg(xq, x, f, gq, nblk)  # [K, block+3]
+    else:
+        taps = aux
+        first, last = i == 0, i == n - 2
+        t = t.astype(f.dtype)
+
+        # query cotangent: analytic d/dt of the per-offset weights
+        dw = _cubic_weights(t, first, last, d=True)
+        dxq = (gq * sum(c * tap for c, tap in zip(dw, taps)) / h).reshape(jnp.shape(xq)).astype(xq.dtype)
+
+        # table cotangent: per-query (block+3)-wide stencil cotangent, folded back
+        # through the transposed block one-hot (exact bf16) with hi/lo-split values
+        # (a single-term bf16 cotangent measures ~1.5x SLOWER at production shapes
+        # — the cotangent build fuses into the transpose matmul and serializes its
+        # VPU work; see _blocked_vjp_bwd and bench_blocked_bwd.py)
+        cw = _cubic_weights(t, first, last)
+        jj = jnp.arange(block + 3, dtype=jnp.int32)[None, :]
+        cot = gq[:, None] * sum(
+            c[:, None] * (jj == (lo + k)[:, None]) for k, c in enumerate(cw)
+        ).astype(f.dtype)  # [Q, block+3]
+        ch, cl = _bf16_split(cot, 2)
+        onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+        D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
+        c = block + 3
+        dseg = D2[..., :c] + D2[..., c:]  # [K, block+3]
 
     npad = nblk * block + 3
     dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((3,), f.dtype)], axis=-1)
@@ -760,6 +778,94 @@ def _cubic_blocked_vjp_bwd(res, g):
 
 
 interp1d_cubic_blocked.defvjp(_cubic_blocked_vjp_fwd, _cubic_blocked_vjp_bwd)
+
+
+@_custom_batching_blocked.custom_vmap
+def _cubic_pallas2_core(qf, f, meta):
+    """Unbatched fused blocked-cubic forward (ops.interp_kernel2, cubic).
+
+    Same vmap-routing rationale as ``_pallas2_core``.  Unlike the linear
+    kernel, meta may be BATCHED under vmap: the EDF velocity grid arrives
+    through the batched parameter pytree (identical values per lineout, but
+    a batched tracer), so the kernel takes per-row (x0, dx, n)."""
+    from ...ops.interp_kernel2 import cubic_interp_pallas2, cubic_segments_for_pallas2
+
+    segt = cubic_segments_for_pallas2(f[None, :])
+    out, dout = cubic_interp_pallas2(qf[None, :], segt, meta[None, :])
+    return out[0], dout[0]
+
+
+@_cubic_pallas2_core.def_vmap
+def _cubic_pallas2_core_vmap(axis_size, in_batched, qf, f, meta):
+    from ...ops.interp_kernel2 import cubic_interp_pallas2, cubic_segments_for_pallas2
+
+    qb, fb, mb = in_batched
+    if not qb:
+        qf = jnp.broadcast_to(qf[None, :], (axis_size,) + qf.shape)
+    if not fb:
+        f = jnp.broadcast_to(f[None, :], (axis_size,) + f.shape)
+    if not mb:
+        meta = jnp.broadcast_to(meta[None, :], (axis_size,) + meta.shape)
+    out, dout = cubic_interp_pallas2(qf, cubic_segments_for_pallas2(f), meta)
+    return (out, dout), (True, True)
+
+
+def _cubic_pallas2_fwd(xq, x, f):
+    from ...ops.interp_kernel2 import QT
+
+    qf = xq.reshape(-1)
+    Q = qf.shape[0]
+    pad = -Q % QT
+    if pad:
+        qf = jnp.concatenate([qf, jnp.full((pad,), x[0], qf.dtype)])
+    meta = jnp.stack([x[0], x[1] - x[0], jnp.asarray(float(x.shape[0]), f.dtype)])
+    out, dout = _cubic_pallas2_core(qf, f, meta)
+    if pad:
+        out, dout = out[:Q], dout[:Q]
+    return out.reshape(jnp.shape(xq)), dout
+
+
+@_functools_blocked.lru_cache(maxsize=None)
+def _cubic_pallas2_bwd_core_for(nblk):
+    """custom_vmap-wrapped fused cubic table-cotangent kernel for K=nblk segments."""
+
+    @_custom_batching_blocked.custom_vmap
+    def core(qf, gf, meta):
+        from ...ops.interp_kernel2 import cubic_interp_pallas2_bwd
+
+        return cubic_interp_pallas2_bwd(qf[None, :], gf[None, :], meta[None, :], nblk)[0]
+
+    @core.def_vmap
+    def _vmap(axis_size, in_batched, qf, gf, meta):
+        from ...ops.interp_kernel2 import cubic_interp_pallas2_bwd
+
+        qb, gb, mb = in_batched
+        if not qb:
+            qf = jnp.broadcast_to(qf[None, :], (axis_size,) + qf.shape)
+        if not gb:
+            gf = jnp.broadcast_to(gf[None, :], (axis_size,) + gf.shape)
+        if not mb:
+            meta = jnp.broadcast_to(meta[None, :], (axis_size,) + meta.shape)
+        return cubic_interp_pallas2_bwd(qf, gf, meta, nblk), True
+
+    return core
+
+
+def _cubic_pallas2_bwd_dseg(xq, x, f, gq, nblk):
+    """dseg [K, block+3] via the fused cubic Pallas backward kernel."""
+    from ...ops.interp_kernel2 import QT
+
+    qf = xq.reshape(-1)
+    gf = gq.reshape(-1).astype(jnp.float32)
+    Q = qf.shape[0]
+    pad = -Q % QT
+    if pad:
+        qf = jnp.concatenate([qf, jnp.full((pad,), x[0], qf.dtype)])
+        gf = jnp.concatenate([gf, jnp.zeros((pad,), gf.dtype)])
+    meta = jnp.stack([x[0], x[1] - x[0], jnp.asarray(float(x.shape[0]), f.dtype)])
+    D2 = _cubic_pallas2_bwd_core_for(nblk)(qf, gf, meta)  # [K, 2*(block+3)]
+    c = _CUBIC_BLOCK + 3
+    return D2[..., :c] + D2[..., c:]
 
 
 @_jax.custom_vjp

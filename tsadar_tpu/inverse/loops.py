@@ -21,6 +21,7 @@ import numpy as np
 import optax
 
 import jax
+import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from ..core.params import ThomsonParams, get_filter_spec, partition, combine
@@ -89,22 +90,31 @@ def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch:
     opt_state = opt.init(diff_params)
 
     @jax.jit
-    def step(dp, state):
+    def step(dp, state, best_loss, best_dp):
         (value, aux), grad = loss_fn._vg_func_(dp, static_params, batch)
         updates, state = opt.update(grad, state)
         dp = optax.apply_updates(dp, updates)
-        return dp, state, value
+        # best-so-far tracked ON DEVICE (same association as the host loop it
+        # replaces: the pre-update loss is credited to the post-update params).
+        # A host-side `float(value)` every epoch forces a full dispatch->result
+        # round trip per step; keeping the comparison on device lets the host
+        # run ahead and the device queue stay full.
+        improved = value < best_loss
+        best_loss = jnp.where(improved, value, best_loss)
+        best_dp = jax.tree.map(lambda n, o: jnp.where(improved, n, o), dp, best_dp)
+        return dp, state, value, best_loss, best_dp
 
-    best_loss, best_weights = np.inf, ts_params
+    best_loss = jnp.asarray(np.inf)
+    best_dp = diff_params
     for i_epoch in range(config["optimizer"]["num_epochs"]):
-        diff_params, opt_state, epoch_loss = step(diff_params, opt_state)
-        epoch_loss = float(epoch_loss)
-        if tbatch is not None:
-            tbatch.set_description(f"Epoch {i_epoch + 1}, Prev Epoch Loss {epoch_loss:.2e}")
-        if epoch_loss < best_loss:
-            best_loss = epoch_loss
-            best_weights = combine(diff_params, static_params)
-    return best_loss, best_weights
+        diff_params, opt_state, epoch_loss, best_loss, best_dp = step(
+            diff_params, opt_state, best_loss, best_dp
+        )
+        if tbatch is not None:  # progress display syncs; production passes None
+            tbatch.set_description(f"Epoch {i_epoch + 1}, Prev Epoch Loss {float(epoch_loss):.2e}")
+    if config["optimizer"]["num_epochs"] == 0:
+        return np.inf, ts_params
+    return float(best_loss), combine(best_dp, static_params)
 
 
 def _1d_device_lbfgs_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch: Dict):

@@ -211,3 +211,200 @@ def segments_for_pallas2(f):
     seg, nblk = _blocked_segments(f, n, _BLK)  # [B, K, blk+1]
     segcat = jnp.concatenate(_bf16_split(seg, 3), axis=-1)  # [B, K, 3*(blk+1)]
     return jnp.swapaxes(segcat, -1, -2)  # [B, 3*(blk+1), K]
+
+
+# ---------------------------------------------------------------------------
+# Cubic Hermite variant: same layout, 4-tap stencil + Hermite/FD weights.
+#
+# Targets the EDF lookup (form_factor.py:254, interp.interp1d_cubic_blocked):
+# the profiler shows its XLA forward + custom-VJP backward as six [512, 10240]
+# loop fusions at ~6.4 ms/iter of the whole-shot fit step — the [Q, blk+3]
+# intermediate arrays (taps, cotangent, hi/lo splits) all round-trip HBM.
+# Here the whole chain stays in VMEM.  The forward also emits d(out)/dt so
+# the query cotangent is one elementwise multiply in the backward.
+# ---------------------------------------------------------------------------
+
+
+def _cubic_idx(qrow, x0, dx, n):
+    """(i0f, t, blk, lo, first, last) — interp._cubic_blocked_indices math.
+
+    t is UNCLAMPED (edge cells extrapolate their polynomial, matching
+    interp1d_cubic_matmul semantics); i0 is clipped to [0, n-2].
+    """
+    pos = (qrow - x0) / dx
+    i0f = jnp.clip(jnp.floor(pos), 0.0, n - 2.0)
+    t = (pos - i0f).astype(jnp.float32)
+    i0 = i0f.astype(jnp.int32)
+    blk = i0 // _BLK
+    lo = i0 - blk * _BLK
+    return t, blk, lo, i0f == 0.0, i0f == n - 2.0
+
+
+def _cubic_kernel(meta_ref, q_ref, segt_ref, o_ref, d_ref):
+    from ..core.physics.interp import _cubic_weights
+
+    x0, dx, n = meta_ref[0, 0, 0], meta_ref[0, 0, 1], meta_ref[0, 0, 2]
+    segt = segt_ref[0]  # [3*(_BLK+3), K] bf16
+    k = segt.shape[1]
+    qrow = q_ref[0, 0][0]  # [QT]
+    t, blk, lo, first, last = _cubic_idx(qrow, x0, dx, n)
+
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (k, QT), 0)
+    oh = (kiota == blk[None, :]).astype(jnp.bfloat16)  # [K, QT]
+
+    c = _BLK + 3
+    s3 = jax.lax.dot_general(
+        segt,
+        oh,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [3c, QT]
+    s = s3[:c] + s3[c : 2 * c] + s3[2 * c :]  # [c, QT] f32
+
+    jiota = jax.lax.broadcasted_iota(jnp.int32, (_BLK, QT), 0)
+    loh = (jiota == lo[None, :]).astype(jnp.float32)  # [blk, QT]
+    taps = [jnp.sum(loh * s[kk : kk + _BLK], axis=0) for kk in range(4)]
+
+    cw = _cubic_weights(t, first, last)
+    dw = _cubic_weights(t, first, last, d=True)
+    o_ref[0, 0] = sum(w * tap for w, tap in zip(cw, taps))[None, :]
+    d_ref[0, 0] = sum(w * tap for w, tap in zip(dw, taps))[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cubic_interp_pallas2(q, segcat_t, meta, interpret=False):
+    """(values, d(values)/dt) for per-row tables at per-row queries.
+
+    Same math as ``interp.interp1d_cubic_blocked``'s forward (bit-exact);
+    the second output is the per-query Hermite derivative w.r.t. the cell
+    coordinate t, so the backward's query cotangent is g * dout_dt / dx.
+
+    Args:
+      q: [B, Q] queries, Q % QT == 0 (pad with x0).
+      segcat_t: [B, 3*(_BLK+3), K] bf16 (build with
+        ``cubic_segments_for_pallas2``).
+      meta: [B, 3] per-row (x0, dx, n) — per-row because the EDF velocity
+        grid arrives through the batched parameter pytree (identical values
+        across lineouts, but a batched tracer under vmap), unlike the linear
+        kernel's static chi_R pole grid.
+    """
+    B, Q = q.shape
+    three_c, k = segcat_t.shape[1:]
+    nt = Q // QT
+    q4 = q.reshape(B, nt, 1, QT)
+    meta3 = meta.reshape(B, 1, 3)
+    out, dout = pl.pallas_call(
+        _cubic_kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, 3), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, three_c, k), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nt, 1, QT), q.dtype),
+            jax.ShapeDtypeStruct((B, nt, 1, QT), q.dtype),
+        ),
+        interpret=interpret,
+    )(meta3, q4, segcat_t)
+    return out.reshape(B, Q), dout.reshape(B, Q)
+
+
+def _cubic_bwd_kernel(meta_ref, q_ref, g_ref, d2_ref):
+    """Accumulate the cubic table cotangent D2[K, 2*(_BLK+3)] over query tiles.
+
+    Fuses interp._cubic_blocked_vjp_bwd's cotangent build (4-tap Hermite
+    weights scattered to stencil offsets), the hi/lo bf16 split, and the
+    transposed one-hot contraction — all VMEM-resident.
+    """
+    from ..core.physics.interp import _cubic_weights
+
+    i = pl.program_id(1)
+    x0, dx, n = meta_ref[0, 0, 0], meta_ref[0, 0, 1], meta_ref[0, 0, 2]
+    qrow = q_ref[0, 0][0]  # [QT]
+    grow = g_ref[0, 0][0]  # [QT]
+    t, blk, lo, first, last = _cubic_idx(qrow, x0, dx, n)
+
+    c = _BLK + 3
+    cw = _cubic_weights(t, first, last)
+    jiota = jax.lax.broadcasted_iota(jnp.int32, (c, QT), 0)
+    wj = sum(
+        jnp.where(jiota == (lo + kk)[None, :], w[None, :], 0.0) for kk, w in enumerate(cw)
+    )
+    cot = grow[None, :] * wj  # [c, QT] f32
+    # plain-convert bf16 split: safe in Mosaic (no excess-precision elision)
+    ch = cot.astype(jnp.bfloat16)
+    cl = (cot - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+    catcot = jnp.concatenate([ch, cl], axis=0)  # [2c, QT]
+
+    k = d2_ref.shape[1]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (k, QT), 0)
+    oh = (kiota == blk[None, :]).astype(jnp.bfloat16)  # [K, QT]
+
+    part = jax.lax.dot_general(
+        oh,
+        catcot,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [K, 2c]
+
+    @pl.when(i == 0)
+    def _init():
+        d2_ref[0] = part
+
+    @pl.when(i != 0)
+    def _acc():
+        d2_ref[0] += part
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def cubic_interp_pallas2_bwd(q, g, meta, k, interpret=False):
+    """Cubic table cotangent D2 [B, K, 2*(_BLK+3)] for per-row queries/cotangents.
+
+    ``D2[..., :c] + D2[..., c:]`` gives dseg [B, K, _BLK+3]; the caller folds
+    the overlapping segments back to the table (interp._cubic_blocked_vjp_bwd).
+
+    Args:
+      q: [B, Q] queries, Q % QT == 0 (pad with x0; pad cotangents with 0).
+      g: [B, Q] output cotangents.
+      meta: [B, 3] per-row (x0, dx, n) — see ``cubic_interp_pallas2``.
+      k: number of table segments (static).
+    """
+    B, Q = q.shape
+    nt = Q // QT
+    q4 = q.reshape(B, nt, 1, QT)
+    g4 = g.reshape(B, nt, 1, QT)
+    meta3 = meta.reshape(B, 1, 3)
+    c2 = 2 * (_BLK + 3)
+    return pl.pallas_call(
+        _cubic_bwd_kernel,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, 3), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k, c2), lambda b, i: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, k, c2), jnp.float32),
+        interpret=interpret,
+    )(meta3, q4, g4)
+
+
+def cubic_segments_for_pallas2(f):
+    """[B, 3*(_BLK+3), K] bf16 transposed split cubic segments of tables f [B, n].
+
+    Same left-padded 4-tap segment structure and 3-term bf16 split as the XLA
+    blocked cubic path (interp._cubic_blocked_segments/_bf16_split).
+    """
+    from ..core.physics.interp import _bf16_split, _cubic_blocked_segments
+
+    n = f.shape[-1]
+    seg, nblk = _cubic_blocked_segments(f, n, _BLK)  # [B, K, blk+3]
+    segcat = jnp.concatenate(_bf16_split(seg, 3), axis=-1)  # [B, K, 3*(blk+3)]
+    return jnp.swapaxes(segcat, -1, -2)  # [B, 3*(blk+3), K]
