@@ -49,6 +49,14 @@ from .interp import (
 )
 from .zprime import zprime
 
+# EDF-lookup dispatch on TPU: velocity grids LARGER than this take the blocked
+# cubic path (Pallas-fused at production query counts).  Before the fused
+# cubic kernels the [Q, nvx] Hermite weight-matrix matmul won for nvx <= 128;
+# with them the blocked path wins at every production grid (same-window A/B at
+# the bench shapes, nvx=64: forward 42.5k -> 48.5k spectra/s, fit step 31.0 ->
+# 26.5 ms).  The floor only guards degenerate grids near the stencil width.
+_CUBIC_BLOCKED_MIN_NVX = 16
+
 
 class FormFactor:
     """Spectral density function calculator.
@@ -246,7 +254,7 @@ class FormFactor:
         # = -inf, which a single matmul then spreads across the whole lineout.
         tiny = jnp.finfo(jnp.result_type(fe)).tiny
         log_fe = jnp.log(jnp.maximum(fe, tiny))
-        if jax.default_backend() == "tpu" and vx.shape[0] > 128:
+        if jax.default_backend() == "tpu" and vx.shape[0] > _CUBIC_BLOCKED_MIN_NVX:
             # blocked cubic: same Hermite stencil without materializing the
             # [Q, nvx] weight matrix (prohibitive at whole-shot shapes for
             # large velocity grids); for nvx <= 128 the weight-matrix form
