@@ -93,30 +93,39 @@ def main():
     # device L-BFGS path is exercised on CPU in tests/test_inverse.
     opt = optax.adam(2e-2)
 
-    # a single jitted step + a Python loop: the axon remote compiler takes
-    # many minutes to compile a scanned multi-step program, while one step
-    # compiles in ~30 s and per-iteration dispatch is negligible
-    @jax.jit
-    def step(dp, state):
+    # mirror the production loop (loops.py): a jitted scan of CHUNK steps per
+    # dispatch.  One-step-per-dispatch leaves the single-core host
+    # dispatch-bound; a whole-fit-length scan (200 steps) takes minutes on the
+    # axon remote compiler, but a short scan compiles like a single step.
+    CHUNK = 8
+
+    def one_step(carry, _):
+        dp, state = carry
         value, grad = jax.value_and_grad(value_fn)(dp)
         updates, state = opt.update(grad, state)
         dp = optax.apply_updates(dp, updates)
-        return dp, state, value
+        return (dp, state), value
 
+    @jax.jit
+    def run_chunk(dp, state):
+        (dp, state), vals = jax.lax.scan(one_step, (dp, state), None, length=CHUNK)
+        return dp, state, vals
+
+    assert N_ITERS % CHUNK == 0
     state = opt.init(diff0)
     t0 = time.time()
-    dp, state, value = step(diff0, state)
-    jax.block_until_ready(value)
+    dp, state, vals = run_chunk(diff0, state)
+    jax.block_until_ready(vals)
     compile_time = time.time() - t0
 
-    values = [float(value)]
+    values = [vals]
     t0 = time.time()
-    for _ in range(N_ITERS - 1):
-        dp, state, value = step(dp, state)
-        values.append(value)
-    jax.block_until_ready(value)
+    for _ in range(N_ITERS // CHUNK - 1):
+        dp, state, vals = run_chunk(dp, state)
+        values.append(vals)
+    jax.block_until_ready(vals)
     fit_time = time.time() - t0
-    values = [float(v) for v in values]
+    values = [float(v) for chunk_vals in values for v in np.asarray(chunk_vals)]
 
     final = combine(dp, static)
     per_lineout_loss, *_ = loss_fn.array_loss(final, batch)

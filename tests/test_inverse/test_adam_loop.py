@@ -47,3 +47,22 @@ def test_adam_loop_zero_epochs_returns_init():
     best_loss, best_weights = _1d_adam_loop_(cfg, loss_fn, None, batch)
     assert best_loss == np.inf
     assert isinstance(best_weights, ThomsonParams)
+
+
+def test_adam_loop_chunking_matches_per_step():
+    # the scanned k-step chunk must produce the same optimization trajectory
+    # as one-step-per-dispatch (chunk_size=1): identical math, fewer syncs
+    cfg, loss_fn, batch = _setup()
+    cfg["optimizer"]["num_epochs"] = 6
+    cfg["optimizer"]["chunk_size"] = 4  # 4 + 2 tail: exercises both lengths
+    loss_chunked, w_chunked = _1d_adam_loop_(cfg, loss_fn, None, batch)
+
+    cfg2, loss_fn2, batch2 = _setup()
+    cfg2["optimizer"]["num_epochs"] = 6
+    cfg2["optimizer"]["chunk_size"] = 1
+    loss_single, w_single = _1d_adam_loop_(cfg2, loss_fn2, None, batch2)
+
+    assert np.isclose(loss_chunked, loss_single, rtol=1e-10)
+    a = w_chunked.get_unnormed_params()["electron"]["Te"]
+    b = w_single.get_unnormed_params()["electron"]["Te"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
