@@ -52,8 +52,8 @@ def test_bwd_kernel_matches_xla_table_cotangent():
     g = jnp.asarray(rng.standard_normal((B, Q)), jnp.float32)
     meta = jnp.stack([x[0], x[1] - x[0], jnp.asarray(float(n), jnp.float32)])
 
-    D2 = lin_interp_pallas2_bwd(q, g, meta, k, interpret=True)
-    dseg = np.asarray(D2[..., :c] + D2[..., c:])  # [B, K, blk+1]
+    D2 = lin_interp_pallas2_bwd(q, g, meta, k, interpret=True)  # [B, 2c, K]
+    dseg = np.asarray(jnp.swapaxes(D2[..., :c, :] + D2[..., c:, :], -1, -2))  # [B, K, blk+1]
     # fold overlapping segments back to the table, as interp._blocked_vjp_bwd
     got = np.zeros((B, k * blk + 1))
     got[:, : k * blk] = dseg[..., :blk].reshape(B, -1)

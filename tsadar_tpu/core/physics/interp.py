@@ -355,9 +355,9 @@ def _pallas2_bwd_dseg(xq, x, f, gq, nblk):
         qf = jnp.concatenate([qf, jnp.full((pad,), x[0], qf.dtype)])
         gf = jnp.concatenate([gf, jnp.zeros((pad,), gf.dtype)])
     meta = jnp.stack([x[0], x[1] - x[0], jnp.asarray(float(x.shape[0]), f.dtype)])
-    D2 = _pallas2_bwd_core_for(nblk)(qf, gf, meta)  # [K, 2*(block+1)]
+    D2 = _pallas2_bwd_core_for(nblk)(qf, gf, meta)  # [2*(block+1), K] (K on lanes)
     c = _BLOCK + 1
-    return D2[..., :c] + D2[..., c:]
+    return jnp.swapaxes(D2[..., :c, :] + D2[..., c:, :], -1, -2)
 
 
 def _hermite_eval(t, h, f0, f1, d0, d1):

@@ -145,17 +145,21 @@ def _bwd_kernel(meta_ref, q_ref, g_ref, d2_ref):
     cl = (cot - ch.astype(jnp.float32)).astype(jnp.bfloat16)
     catcot = jnp.concatenate([ch, cl], axis=0)  # [2c, QT]
 
-    k = d2_ref.shape[1]
+    k = d2_ref.shape[2]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (k, QT), 0)
     oh = (kiota == blk[None, :]).astype(jnp.bfloat16)  # [K, QT]
 
+    # emit [2c, K], not [K, 2c]: with K=256 on LANES the MXU output tiles are
+    # full (2 lane tiles) vs 18/128 lanes used the other way — 16% on the
+    # isolated op, bit-exact (same QT contraction).  The cubic variant below
+    # keeps [K, 2c]: its K (nvx/_BLK = 8-40) is smaller than 2c either way.
     part = jax.lax.dot_general(
-        oh,
         catcot,
+        oh,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
-    )  # [K, 2c]
+    )  # [2c, K]
 
     @pl.when(i == 0)
     def _init():
@@ -168,10 +172,11 @@ def _bwd_kernel(meta_ref, q_ref, g_ref, d2_ref):
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def lin_interp_pallas2_bwd(q, g, meta, k, interpret=False):
-    """Table cotangent D2 [B, K, 2*(_BLK+1)] for per-row queries/cotangents.
+    """Table cotangent D2 [B, 2*(_BLK+1), K] for per-row queries/cotangents.
 
-    ``sum over the hi+lo halves`` gives dseg [B, K, _BLK+1]; the caller folds
-    the overlapping segments back to the table (interp._blocked_vjp_bwd).
+    ``sum over the hi+lo halves`` gives dseg-transposed [B, _BLK+1, K]; the
+    caller folds the overlapping segments back to the table
+    (interp._blocked_vjp_bwd).  K rides the LANE axis (see _bwd_kernel).
 
     Args:
       q: [B, Q] queries, Q % QT == 0 (pad with x0; pad cotangents with 0).
@@ -192,8 +197,8 @@ def lin_interp_pallas2_bwd(q, g, meta, k, interpret=False):
             pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
             pl.BlockSpec((1, 1, 1, QT), lambda b, i: (b, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, k, c2), lambda b, i: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, k, c2), jnp.float32),
+        out_specs=pl.BlockSpec((1, c2, k), lambda b, i: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, c2, k), jnp.float32),
         interpret=interpret,
     )(meta, q4, g4)
 
