@@ -57,6 +57,21 @@ from .zprime import zprime
 # 26.5 ms).  The floor only guards degenerate grids near the stencil width.
 _CUBIC_BLOCKED_MIN_NVX = 16
 
+# Rematerialize the chi-combination / spectrum-assembly tail in the backward
+# pass (``_spectrum_tail``).  MEASURED NEGATIVE on v5e at bench shapes
+# (B=512): fit step 22.5 -> 24.3 ms and XLA's own bytes-accessed estimate
+# RISES 9.9 -> 10.8 GB — the rationale (don't store ~21 MB [B, G, L, A]
+# residuals, recompute them) fails because the recomputed intermediates are
+# materialized for the backward anyway, so checkpointing adds traffic plus
+# compute.  XLA's default residual selection is already the better schedule.
+# Kept as an off-by-default switch: the clean tail boundary is where any
+# future remat-policy experiment plugs in.
+REMAT_SPECTRUM_TAIL = False
+
+
+def _remat_tail_enabled():
+    return bool(REMAT_SPECTRUM_TAIL)
+
 
 class FormFactor:
     """Spectral density function calculator.
@@ -194,6 +209,62 @@ class FormFactor:
         chiI = jnp.sum(chiI_per, axis=3)  # [G,L,A]
         return chiI, xii, kldi, vTi, Zbar
 
+    def _kinematics(self, ne, Te, lam, Va, ud):
+        """Scattering kinematics: k, Doppler omega, phase velocities [G, L, A].
+
+        Shared between ``__call__`` (to form the table-lookup queries) and the
+        rematerialized ``_spectrum_tail`` (which recomputes them in the
+        backward instead of storing them as residuals) — one definition keeps
+        the two evaluations bitwise identical.
+        """
+        sarad = (self.scattering_angles["sa"] * jnp.pi / 180.0).reshape(1, 1, -1)
+        omgL = self.omgL_num / lam
+
+        omgpe = PLASMA_FREQ_CONST * jnp.sqrt(ne[..., None, None])  # [G,1,1]
+        omg = self.omgs - omgL
+
+        ks = jnp.sqrt(self.omgs**2 - omgpe**2) / C
+        kL = jnp.sqrt(omgL**2 - omgpe**2) / C
+        k = jnp.sqrt(ks**2 + kL**2 - 2.0 * ks * kL * jnp.cos(sarad))  # [G,L,A]
+
+        omgdop = omg - k * Va
+
+        vTe = jnp.sqrt(Te[..., None, None] / ME_KEV)  # [G,1,1]
+        klde = (vTe / omgpe) * k
+        xie = omgdop / (k * vTe) - ud / vTe  # [G,L,A]
+        return omgL, k, omgdop, vTe, klde, xie
+
+    def _spectrum_tail(self, lf, chiERraw, ne, Te, lam, Va, ud, A, Z, Ti, fract):
+        """chi combination + S(k, omega) assembly from the two lookup outputs.
+
+        Everything downstream of the two table lookups, behind one clean
+        boundary so it can be wrapped in ``jax.checkpoint``
+        (``REMAT_SPECTRUM_TAIL``) — which measured NEGATIVE on v5e; see the
+        flag comment for the numbers and the reason.
+        """
+        omgL, k, omgdop, vTe, klde, xie = self._kinematics(ne, Te, lam, Va, ud)
+        chiI, xii, kldi, vTi, Zbar = self._ion_susceptibility(omgdop, k, ne, Z, Ti, fract, A)
+
+        fe_vphi = jnp.exp(lf)
+        df = jnp.diff(fe_vphi, 1, axis=1) / jnp.diff(xie, 1, axis=1)
+        df = jnp.concatenate([df, jnp.zeros_like(df[:, :1, :])], axis=1)
+        # electron Landau term: chi_I = -(pi/k^2 lDe^2) f'(xie).  The MINUS sign
+        # follows from the same retarded dispersion integral that defines the
+        # PV real part (1/(xi' - xi - i0) = P + i pi delta), is required
+        # by Kramers-Kronig consistency with chiERrat, and matches the exact
+        # Maxwellian Z-function susceptibility (validated against scipy.wofz).
+        # DOCUMENTED DEVIATION: the reference uses +pi (form_factor.py:261),
+        # i.e. electron Landau ANTI-damping — invisible in the EPW feature
+        # (|Im eps| = |chi_I^e| there) but inflating the ion feature ~10-16%
+        # where Im chi_e and Im chi_i must add, which the Salpeter sum-rule
+        # test catches (tests/test_physics/test_sum_rule.py).
+        chiEI = -1j * jnp.pi / (klde**2) * df
+
+        chiE = -1.0 / (klde**2) * chiERraw + chiEI
+        return self._assemble_spectrum(
+            k, chiE, chiI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne
+        )
+
     def _assemble_spectrum(self, k_mag, chiE, chiI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne):
         """Final S(k,w) assembly (form_factor.py:273-298)."""
         epsilon = 1.0 + chiE + chiI
@@ -229,25 +300,9 @@ class FormFactor:
         vx = jnp.squeeze(params["electron"]["v"])
         A, Z, Ti, fract = self._ion_arrays(params)
 
-        sarad = (self.scattering_angles["sa"] * jnp.pi / 180.0).reshape(1, 1, -1)
-        omgL = self.omgL_num / lam
-
-        omgpe = PLASMA_FREQ_CONST * jnp.sqrt(ne[..., None, None])  # [G,1,1]
-        omg = self.omgs - omgL
-
-        ks = jnp.sqrt(self.omgs**2 - omgpe**2) / C
-        kL = jnp.sqrt(omgL**2 - omgpe**2) / C
-        k = jnp.sqrt(ks**2 + kL**2 - 2.0 * ks * kL * jnp.cos(sarad))  # [G,L,A]
-
-        omgdop = omg - k * Va
-
-        vTe = jnp.sqrt(Te[..., None, None] / ME_KEV)  # [G,1,1]
-        klde = (vTe / omgpe) * k
-
-        chiI, xii, kldi, vTi, Zbar = self._ion_susceptibility(omgdop, k, ne, Z, Ti, fract, A)
+        _, _, _, _, _, xie = self._kinematics(ne, Te, lam, Va, ud)
 
         # electron susceptibility at xie (form_factor.py:253-271)
-        xie = omgdop / (k * vTe) - ud / vTe  # [G,L,A]
         # clamp so exact zeros in the EDF tail cannot poison the log-space interp.
         # The floor must be representable in the WORKING dtype: a literal like
         # 1e-300 underflows to 0.0 in f32 (TPU), silently re-admitting log(0)
@@ -261,23 +316,8 @@ class FormFactor:
             # below is ~2x faster on v5e (bf16-split Hermite weights, MXU)
             lf = interp1d_cubic_blocked(xie, vx, log_fe)
             lf = jnp.where((xie < vx[0]) | (xie > vx[-1]), -50.0, lf)
-            fe_vphi = jnp.exp(lf)
         else:
-            fe_vphi = jnp.exp(interp1d_cubic_matmul(xie, vx, log_fe, extrap=(-50.0, -50.0)))
-
-        df = jnp.diff(fe_vphi, 1, axis=1) / jnp.diff(xie, 1, axis=1)
-        df = jnp.concatenate([df, jnp.zeros_like(df[:, :1, :])], axis=1)
-        # electron Landau term: chi_I = -(pi/k^2 lDe^2) f'(xie).  The MINUS sign
-        # follows from the same retarded dispersion integral that defines the
-        # PV real part above (1/(xi' - xi - i0) = P + i pi delta), is required
-        # by Kramers-Kronig consistency with chiERrat, and matches the exact
-        # Maxwellian Z-function susceptibility (validated against scipy.wofz).
-        # DOCUMENTED DEVIATION: the reference uses +pi (form_factor.py:261),
-        # i.e. electron Landau ANTI-damping — invisible in the EPW feature
-        # (|Im eps| = |chi_I^e| there) but inflating the ion feature ~10-16%
-        # where Im chi_e and Im chi_i must add, which the Salpeter sum-rule
-        # test catches (tests/test_physics/test_sum_rule.py).
-        chiEI = -1j * jnp.pi / (klde**2) * df
+            lf = interp1d_cubic_matmul(xie, vx, log_fe, extrap=(-50.0, -50.0))
 
         ratmod = jnp.exp(interp1d_cubic_matmul(self.xi1, vx, log_fe, extrap=(-50.0, -50.0)))
         ratdf = jnp.gradient(ratmod, self.dxi1)
@@ -296,15 +336,12 @@ class FormFactor:
             # nondeterministically lowers this batched 1D gather ~500x slow
             # (CLAUDE.md "Open performance lead"); the blocked form is pure
             # MXU/VPU work with matmul transposes in the backward pass
-            chiERrat = interp1d_linear_blocked(xie, pv_poles, chiERratprim)
+            chiERraw = interp1d_linear_blocked(xie, pv_poles, chiERratprim)
         else:
-            chiERrat = interp1d_linear_uniform(xie, pv_poles, chiERratprim)
-        chiERrat = -1.0 / (klde**2) * chiERrat
+            chiERraw = interp1d_linear_uniform(xie, pv_poles, chiERratprim)
 
-        chiE = chiERrat + chiEI
-        return self._assemble_spectrum(
-            k, chiE, chiI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne
-        )
+        tail = jax.checkpoint(self._spectrum_tail) if _remat_tail_enabled() else self._spectrum_tail
+        return tail(lf, chiERraw, ne, Te, lam, Va, ud, A, Z, Ti, fract)
 
     # -------------------------------------------------------------------- 2V
 
