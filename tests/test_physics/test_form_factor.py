@@ -251,3 +251,34 @@ def test_exact_mode_guarded_on_tpu(monkeypatch):
         warnings.simplefilter("error")
         assert FormFactor(mode="exact", allow_exact_on_tpu=True, **kw).mode == "exact"
         assert FormFactor(mode="table", **kw).mode == "table"
+
+
+def test_remat_tail_grad_equivalence(monkeypatch):
+    """REMAT_SPECTRUM_TAIL rewires autodiff residuals, never the math.
+
+    The flag is off by default (measured slower on v5e — see the flag
+    comment in form_factor.py); this pins that flipping it changes neither
+    the forward nor the gradient, so the boundary stays safe to experiment
+    behind.
+    """
+    from tsadar_tpu.core.physics import form_factor as ff_mod
+
+    vx, fe = _maxwellian_1v(nv=512)
+    ff = FormFactor(
+        [400, 700], npts=256, lam_shift=0.0, scattering_angles={"sa": np.array([60.0])}, num_grad_points=1
+    )
+
+    def loss(Te, ud):
+        S, _ = ff(_params(fe, vx, Te=Te, ud=ud))
+        return jnp.sum(S**2) * 1e10
+
+    vg = jax.value_and_grad(loss, argnums=(0, 1))
+    monkeypatch.setattr(ff_mod, "REMAT_SPECTRUM_TAIL", False)
+    v0, g0 = jax.jit(vg)(0.5, 0.1)
+    jax.clear_caches()
+    monkeypatch.setattr(ff_mod, "REMAT_SPECTRUM_TAIL", True)
+    v1, g1 = jax.jit(vg)(0.5, 0.1)
+
+    # checkpoint changes the fusion schedule, so allow f64 reassociation ulps
+    assert_allclose(float(v0), float(v1), rtol=1e-13)
+    assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-12)
