@@ -572,7 +572,8 @@ def periodic_linear_rowmix(T, beta_q):
     (f1d | df1d | chiR) tables replaces three bilinear gathers; the remaining
     v-axis selection is elementwise (``select_columns_linear``).
 
-    Custom VJP: dT = W^T @ g (f32, HIGHEST), dbeta = sum(g * (T[ib1]-T[ib0]))/dbeta.
+    Custom VJP: dT = W^T @ g and the row-difference for dbeta as hi/lo
+    bf16-split matmuls (see ``_rowmix_vjp_bwd``).
     """
     return _rowmix_impl(T, beta_q)
 
@@ -593,9 +594,26 @@ def _rowmix_vjp_bwd(res, g):
     oh0 = (ib0[:, None] == rows).astype(T.dtype)
     oh1 = (ib1[:, None] == rows).astype(T.dtype)
     W = (1.0 - wb)[:, None] * oh0 + wb[:, None] * oh1
-    hi = _jax.lax.Precision.HIGHEST  # TPU default rounds f32 operands to bf16
-    dT = jnp.matmul(W.T, gq, preferred_element_type=T.dtype, precision=hi)
-    rowdiff = jnp.matmul(oh1 - oh0, T, preferred_element_type=T.dtype, precision=hi)
+
+    # hi/lo bf16 splits instead of f32-HIGHEST matmuls (6-pass bf16
+    # emulation on the MXU): the concat trick computes all four cross
+    # products of dT in two MXU passes of doubled size — the same ~2^-17
+    # relative exactness as the forward's split, at ~1/3 the passes.  This
+    # was the largest single device op of the ARTS fit iteration (2.2 ms of
+    # ~11 ms at full resolution, docs/performance.md).
+    Wh, Wl = _bf16_split(W, 2)
+    gh, gl = _bf16_split(gq, 2)
+    Wcat_t = jnp.concatenate([Wh, Wl], axis=1).T  # [2R, Q]
+    M = jnp.matmul(Wcat_t, gh, preferred_element_type=T.dtype)
+    M = M + jnp.matmul(Wcat_t, gl, preferred_element_type=T.dtype)
+    dT = M[:R] + M[R:]
+
+    # oh1 - oh0 has entries in {-1, 0, 1}, exactly representable in bf16;
+    # only T needs the split — two plain passes replace six.
+    D = (oh1 - oh0).astype(jnp.bfloat16)
+    Th, Tl = _bf16_split(T, 2)
+    rowdiff = jnp.matmul(D, Th, preferred_element_type=T.dtype)
+    rowdiff = rowdiff + jnp.matmul(D, Tl, preferred_element_type=T.dtype)
     dbeta = jnp.sum(gq * rowdiff, axis=-1) * (R / (2.0 * jnp.pi))
     return dT, dbeta.reshape(qshape).astype(beta_q.dtype)
 
