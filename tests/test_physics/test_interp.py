@@ -242,3 +242,67 @@ def test_hessian_flows_through_custom_vjp_kernels():
     for name, loss in cases.items():
         h = jax.hessian(loss)(0.9)
         assert np.isfinite(float(h)), name
+
+
+def test_chi_bilinear_kernel_matches_composition():
+    """The fused Pallas bilinear lookup (interpret mode) == rowmix + column
+    select, in values and all three gradients.
+
+    This is the ARTS hot-path kernel (ops/bilinear_kernel.py); on TPU it
+    replaces the composition whenever num_beta % 128 == 0.  The hi/lo
+    bf16-split contraction carries ~2^-16 of the table scale, same as the
+    composition itself, so the two agree to f32 roundoff-level tolerances.
+    """
+    from tsadar_tpu.core.physics.interp import (
+        periodic_linear_rowmix,
+        select_columns_linear,
+    )
+    from tsadar_tpu.ops.bilinear_kernel import (
+        QT,
+        chi_bilinear_pallas,
+        chi_bilinear_pallas_bwd,
+        tables_for_bilinear,
+    )
+
+    rng = np.random.default_rng(3)
+    R, nvx = 256, 64
+    C = 3 * nvx - 2
+    Q = 2 * QT
+    v0x, dvx = -6.0, 12.0 / nvx
+    v0p, dvp = v0x + dvx / 2, dvx
+
+    Tcat = jnp.asarray(rng.standard_normal((R, C)) * 2, jnp.float32)
+    bq = jnp.asarray(rng.uniform(-7, 13, Q), jnp.float32)  # wraps both ways
+    xq = jnp.asarray(rng.uniform(-7.5, 7.5, Q), jnp.float32)  # incl. clamped
+    gs = [jnp.asarray(rng.standard_normal(Q), jnp.float32) for _ in range(3)]
+
+    segs = [(0, nvx, v0x, dvx), (nvx, 2 * nvx, v0x, dvx), (2 * nvx, C, v0p, dvp)]
+
+    def comp_outs(T, b, x):
+        S = periodic_linear_rowmix(T, b)
+        return [select_columns_linear(S[:, c0:c1], v0, dv, x) for c0, c1, v0, dv in segs]
+
+    refs = comp_outs(Tcat, bq, xq)
+    tsplit = tables_for_bilinear(Tcat[None])
+    meta = jnp.asarray([[v0x, dvx, v0p, dvp]], jnp.float32)
+    outs = chi_bilinear_pallas(bq[None], xq[None], tsplit, meta, nvx, interpret=True)
+    for ref, got in zip(refs, outs[:3]):
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert_allclose(np.asarray(got[0]), np.asarray(ref), rtol=0, atol=3e-6 * scale)
+
+    def comp_loss(T, b, x):
+        return sum(jnp.sum(o * g) for o, g in zip(comp_outs(T, b, x), gs))
+
+    dT_ref, db_ref, dx_ref = jax.grad(comp_loss, argnums=(0, 1, 2))(Tcat, bq, xq)
+    dt, db = chi_bilinear_pallas_bwd(
+        bq[None], xq[None], tsplit, gs[0][None], gs[1][None], gs[2][None], meta, nvx,
+        interpret=True,
+    )
+    dx_got = gs[0] * outs[3][0] + gs[1] * outs[4][0] + gs[2] * outs[5][0]
+    for name, ref, got in [
+        ("dT", dT_ref, dt[0][:, :C]),
+        ("dbeta", db_ref, db[0]),
+        ("dxq", dx_ref, dx_got),
+    ]:
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=3e-6 * scale, err_msg=name)

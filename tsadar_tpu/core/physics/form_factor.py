@@ -46,6 +46,7 @@ from .interp import (
     interp1d_cubic_blocked,
     periodic_linear_rowmix,
     select_columns_linear,
+    chi_bilinear_lookup,
 )
 from .zprime import zprime
 
@@ -593,14 +594,25 @@ class FormFactor:
             # (CLAUDE.md); this form is pure MXU/VPU.
             nvx = f1d.shape[-1]
             Tcat = jnp.concatenate([f1d, df1d, chiR_tab], axis=-1)  # [B, 2*nvx+M]
-            S = periodic_linear_rowmix(Tcat, beta.reshape(-1))  # [Q, 2*nvx+M]
-            xq = xie_mag.reshape(-1)
-            fe_vphi = select_columns_linear(S[:, :nvx], vx[0], dvx, xq)
-            dfe = select_columns_linear(S[:, nvx : 2 * nvx], vx[0], dvx, xq)
-            chiR_raw = select_columns_linear(S[:, 2 * nvx :], pole_grid[0], dpole, xq)
-            fe_vphi = fe_vphi.reshape(beta.shape)
-            dfe = dfe.reshape(beta.shape)
-            chiR_raw = chiR_raw.reshape(beta.shape)
+            if Tcat.shape[0] % 128 == 0 and self._point_sharding is None:
+                # (kernel path skipped under point sharding: pallas_call has
+                # no GSPMD partition rule, so it would force a replicating
+                # all-gather of the sharded query axis)
+                # fused Pallas bilinear lookup: the [Q, R] two-hot and the
+                # [Q, C] row-mixed slice stay in VMEM instead of round-tripping
+                # ~0.9 GB of HBM per ARTS iteration (ops/bilinear_kernel.py)
+                fe_vphi, dfe, chiR_raw = chi_bilinear_lookup(
+                    Tcat, beta, xie_mag, vx[0], dvx, pole_grid[0], dpole
+                )
+            else:
+                S = periodic_linear_rowmix(Tcat, beta.reshape(-1))  # [Q, 2*nvx+M]
+                xq = xie_mag.reshape(-1)
+                fe_vphi = select_columns_linear(S[:, :nvx], vx[0], dvx, xq)
+                dfe = select_columns_linear(S[:, nvx : 2 * nvx], vx[0], dvx, xq)
+                chiR_raw = select_columns_linear(S[:, 2 * nvx :], pole_grid[0], dpole, xq)
+                fe_vphi = fe_vphi.reshape(beta.shape)
+                dfe = dfe.reshape(beta.shape)
+                chiR_raw = chiR_raw.reshape(beta.shape)
         else:
             fe_vphi = self._interp_beta_v(f1d, vx[0], dvx, beta, xie_mag)
             dfe = self._interp_beta_v(df1d, vx[0], dvx, beta, xie_mag)

@@ -621,6 +621,134 @@ def _rowmix_vjp_bwd(res, g):
 periodic_linear_rowmix.defvjp(_rowmix_vjp_fwd, _rowmix_vjp_bwd)
 
 
+@_functools_blocked.lru_cache(maxsize=None)
+def _bilin_core_for(nvx):
+    """custom_vmap-wrapped fused bilinear chi lookup (ops.bilinear_kernel).
+
+    Cached per velocity-grid size (static segment layout); vmapped calls are
+    routed to the kernel's explicit batch grid — letting vmap lift an
+    unbatched pallas_call is the known ~300x pathology."""
+
+    @_custom_batching_blocked.custom_vmap
+    def core(bq, xq, tsplit, meta):
+        from ...ops.bilinear_kernel import chi_bilinear_pallas
+
+        outs = chi_bilinear_pallas(bq[None], xq[None], tsplit[None], meta[None], nvx)
+        return tuple(o[0] for o in outs)
+
+    @core.def_vmap
+    def _vmap(axis_size, in_batched, bq, xq, tsplit, meta):
+        from ...ops.bilinear_kernel import chi_bilinear_pallas
+
+        args = []
+        for a, b in zip((bq, xq, tsplit, meta), in_batched):
+            args.append(a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape))
+        return chi_bilinear_pallas(*args, nvx), (True,) * 6
+
+    @_custom_batching_blocked.custom_vmap
+    def core_bwd(bq, xq, tsplit, g0, g1, g2, meta):
+        from ...ops.bilinear_kernel import chi_bilinear_pallas_bwd
+
+        dt, db = chi_bilinear_pallas_bwd(
+            bq[None], xq[None], tsplit[None], g0[None], g1[None], g2[None], meta[None], nvx
+        )
+        return dt[0], db[0]
+
+    @core_bwd.def_vmap
+    def _vmap_bwd(axis_size, in_batched, bq, xq, tsplit, g0, g1, g2, meta):
+        from ...ops.bilinear_kernel import chi_bilinear_pallas_bwd
+
+        args = []
+        for a, b in zip((bq, xq, tsplit, g0, g1, g2, meta), in_batched):
+            args.append(a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape))
+        return chi_bilinear_pallas_bwd(*args, nvx), (True, True)
+
+    return core, core_bwd
+
+
+def _bilin_prepare(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
+    """(padded bq/xq flat, tsplit, meta, Q, pad) for the fused kernel."""
+    from ...ops.bilinear_kernel import QT, tables_for_bilinear
+
+    bq = beta_q.reshape(-1)
+    xf = xq.reshape(-1).astype(jnp.float32)
+    bq = bq.astype(jnp.float32)
+    Q = bq.shape[0]
+    pad = -Q % QT
+    if pad:
+        bq = jnp.concatenate([bq, jnp.zeros((pad,), bq.dtype)])
+        fill = jnp.broadcast_to(jnp.asarray(v0x, jnp.float32), (pad,))
+        xf = jnp.concatenate([xf, fill])
+    tsplit = tables_for_bilinear(Tcat[None])[0]
+    meta = jnp.stack(
+        [jnp.asarray(s, jnp.float32) for s in (v0x, dvx, v0p, dvp)]
+    )
+    return bq, xf, tsplit, meta, Q, pad
+
+
+@_jax.custom_vjp
+def chi_bilinear_lookup(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
+    """Fused row-mix + column-lerp lookup of the stacked 2V chi tables.
+
+    Semantics identical to the ``periodic_linear_rowmix`` +
+    ``select_columns_linear`` composition in ``calc_all_chi_vals`` (TPU
+    table mode), fused into one Pallas kernel so the [Q, R] two-hot and the
+    [Q, C] row-mixed slice never round-trip HBM (~0.9 GB/iteration at full
+    ARTS resolution).  TPU-only; requires num_beta % 128 == 0.
+
+    Args:
+      Tcat: [R, 3*nvx - 2] stacked (f1d | df1d | chiR) tables.
+      beta_q, xq: query angle/magnitude arrays (same shape).
+      v0x, dvx: velocity-grid origin/spacing; v0p, dvp: pole-grid ditto.
+
+    Returns:
+      (fe_vphi, dfe, chiR_raw) shaped like beta_q.
+
+    Gradients flow to Tcat, beta_q, and xq; the grid scalars get zeros
+    (same convention as the other custom-VJP interp kernels).
+    """
+    out, _ = _bilin_vjp_fwd(Tcat, beta_q, xq, v0x, dvx, v0p, dvp)
+    return out
+
+
+def _bilin_vjp_fwd(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
+    nvx = (Tcat.shape[-1] + 2) // 3
+    bq, xf, tsplit, meta, Q, pad = _bilin_prepare(Tcat, beta_q, xq, v0x, dvx, v0p, dvp)
+    core, _ = _bilin_core_for(nvx)
+    fe, dfe, chiR, d0, d1, d2 = core(bq, xf, tsplit, meta)
+    shape = jnp.shape(beta_q)
+    rs = lambda a: a[:Q].reshape(shape)
+    out = (rs(fe), rs(dfe), rs(chiR))
+    res = (Tcat, beta_q, xq, v0x, dvx, v0p, dvp, d0, d1, d2)
+    return out, res
+
+
+def _bilin_vjp_bwd(res, g):
+    Tcat, beta_q, xq, v0x, dvx, v0p, dvp, d0, d1, d2 = res
+    g0, g1, g2 = g
+    nvx = (Tcat.shape[-1] + 2) // 3
+    bq, xf, tsplit, meta, Q, pad = _bilin_prepare(Tcat, beta_q, xq, v0x, dvx, v0p, dvp)
+    gp = []
+    for gi in (g0, g1, g2):
+        gf = gi.reshape(-1).astype(jnp.float32)
+        if pad:
+            gf = jnp.concatenate([gf, jnp.zeros((pad,), gf.dtype)])
+        gp.append(gf)
+    _, core_bwd = _bilin_core_for(nvx)
+    dt, db = core_bwd(bq, xf, tsplit, gp[0], gp[1], gp[2], meta)
+    shape = jnp.shape(beta_q)
+    dT = dt[: Tcat.shape[0], : Tcat.shape[1]].astype(Tcat.dtype)
+    dbeta = db[:Q].reshape(shape).astype(beta_q.dtype)
+    # query cotangent from the forward-emitted derivatives (one multiply each)
+    gq = g0.reshape(-1) * d0[:Q] + g1.reshape(-1) * d1[:Q] + g2.reshape(-1) * d2[:Q]
+    dxq = gq.reshape(jnp.shape(xq)).astype(xq.dtype)
+    z = lambda a: jnp.zeros_like(a)
+    return dT, dbeta, dxq, z(v0x), z(dvx), z(v0p), z(dvp)
+
+
+chi_bilinear_lookup.defvjp(_bilin_vjp_fwd, _bilin_vjp_bwd)
+
+
 def select_columns_linear(S, v0, dv, v_q):
     """Per-row linear column interpolation: out[q] = lerp(S[q, iv0], S[q, iv0+1], wv).
 
