@@ -306,3 +306,66 @@ def test_chi_bilinear_kernel_matches_composition():
     ]:
         scale = float(jnp.max(jnp.abs(ref)))
         assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=3e-6 * scale, err_msg=name)
+
+
+def test_chi_bilinear_lookup_wrapper_pads_and_differentiates():
+    """The custom-VJP wrapper (chi_bilinear_lookup) == composition at a query
+    count that is NOT a multiple of the kernel tile, exercising the padding
+    path, the 2D query reshape, and the full VJP plumbing (dT, dbeta, dxq).
+
+    Runs the Pallas kernels in interpret mode by monkeypatching the module
+    entry points (the wrapper itself has no interpret knob — on TPU it is
+    dispatched from calc_all_chi_vals' table mode).
+    """
+    import functools
+
+    from tsadar_tpu.core.physics import interp as interp_mod
+    from tsadar_tpu.core.physics.interp import (
+        chi_bilinear_lookup,
+        periodic_linear_rowmix,
+        select_columns_linear,
+    )
+    from tsadar_tpu.ops import bilinear_kernel as bk
+
+    rng = np.random.default_rng(7)
+    R, nvx = 256, 64
+    C = 3 * nvx - 2
+    shape = (7, 100)  # 700 queries: pads 700 -> 1024 (QT=512)
+    v0x, dvx = -6.0, 12.0 / nvx
+    v0p, dvp = v0x + dvx / 2, dvx
+
+    Tcat = jnp.asarray(rng.standard_normal((R, C)) * 2, jnp.float32)
+    bq = jnp.asarray(rng.uniform(-7, 13, shape), jnp.float32)
+    xq = jnp.asarray(rng.uniform(-7.5, 7.5, shape), jnp.float32)
+    gs = [jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(3)]
+
+    segs = [(0, nvx, v0x, dvx), (nvx, 2 * nvx, v0x, dvx), (2 * nvx, C, v0p, dvp)]
+
+    def comp_loss(T, b, x):
+        S = periodic_linear_rowmix(T, b.reshape(-1))
+        tot = 0.0
+        for g, (c0, c1, v0, dv) in zip(gs, segs):
+            tot += jnp.sum(select_columns_linear(S[:, c0:c1], v0, dv, x.reshape(-1)).reshape(shape) * g)
+        return tot
+
+    def kern_loss(T, b, x):
+        outs = chi_bilinear_lookup(T, b, x, v0x, dvx, v0p, dvp)
+        return sum(jnp.sum(o * g) for o, g in zip(outs, gs))
+
+    orig_fwd, orig_bwd = bk.chi_bilinear_pallas, bk.chi_bilinear_pallas_bwd
+    bk.chi_bilinear_pallas = functools.partial(orig_fwd, interpret=True)
+    bk.chi_bilinear_pallas_bwd = functools.partial(orig_bwd, interpret=True)
+    interp_mod._bilin_core_for.cache_clear()
+    try:
+        val_ref, grads_ref = jax.value_and_grad(comp_loss, argnums=(0, 1, 2))(Tcat, bq, xq)
+        val_got, grads_got = jax.value_and_grad(kern_loss, argnums=(0, 1, 2))(Tcat, bq, xq)
+        assert_allclose(float(val_got), float(val_ref), rtol=2e-5)
+        for name, ref, got in zip(("dT", "dbeta", "dxq"), grads_ref, grads_got):
+            scale = float(jnp.max(jnp.abs(ref)))
+            assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=0, atol=3e-6 * scale, err_msg=name
+            )
+    finally:
+        bk.chi_bilinear_pallas = orig_fwd
+        bk.chi_bilinear_pallas_bwd = orig_bwd
+        interp_mod._bilin_core_for.cache_clear()
