@@ -369,3 +369,25 @@ def test_chi_bilinear_lookup_wrapper_pads_and_differentiates():
         bk.chi_bilinear_pallas = orig_fwd
         bk.chi_bilinear_pallas_bwd = orig_bwd
         interp_mod._bilin_core_for.cache_clear()
+
+
+def test_pallas_disabled_context_restores():
+    """pallas_disabled() must nest and restore on exceptions — the sigma path
+    (postprocess.batch_flat_hessian) relies on it to keep pallas_call out of
+    jacfwd-of-jacrev traces."""
+    from tsadar_tpu.core.physics import interp
+
+    assert interp.pallas_enabled()
+    with interp.pallas_disabled():
+        assert not interp.pallas_enabled()
+        with interp.pallas_disabled():
+            assert not interp.pallas_enabled()
+        assert not interp.pallas_enabled()
+    assert interp.pallas_enabled()
+
+    try:
+        with interp.pallas_disabled():
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert interp.pallas_enabled()

@@ -594,10 +594,18 @@ class FormFactor:
             # (CLAUDE.md); this form is pure MXU/VPU.
             nvx = f1d.shape[-1]
             Tcat = jnp.concatenate([f1d, df1d, chiR_tab], axis=-1)  # [B, 2*nvx+M]
-            if Tcat.shape[0] % 128 == 0 and self._point_sharding is None:
+            from .interp import pallas_enabled
+
+            if Tcat.shape[0] % 128 == 0 and self._point_sharding is None and pallas_enabled():
                 # (kernel path skipped under point sharding: pallas_call has
                 # no GSPMD partition rule, so it would force a replicating
-                # all-gather of the sharded query axis)
+                # all-gather of the sharded query axis; and under
+                # interp.pallas_disabled(), the hessian/sigma trace context.
+                # NOTE: this branch returns zero cotangents for the grid
+                # scalars vx[0]/dvx — the module-wide "grids are static"
+                # convention — while the composition below propagates them
+                # through plain AD; nothing trains the velocity grid, but
+                # don't compare d(loss)/d(vx) across the two sub-branches.)
                 # fused Pallas bilinear lookup: the [Q, R] two-hot and the
                 # [Q, C] row-mixed slice stay in VMEM instead of round-tripping
                 # ~0.9 GB of HBM per ARTS iteration (ops/bilinear_kernel.py)

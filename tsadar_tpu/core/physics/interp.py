@@ -157,9 +157,42 @@ def interp1d_linear_blocked(xq, x, f):
     return out
 
 
+_PALLAS_ENABLED = True
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def pallas_disabled():
+    """Trace-time switch to the pure-XLA lowerings of every fused kernel.
+
+    ``pallas_call`` has no JVP rule, so jacfwd-of-jacrev (``jax.hessian``,
+    the postprocess sigma path) cannot cross the Pallas-dispatched branches —
+    any function containing one fails to forward-differentiate.  Tracing the
+    model inside this context routes all interp/chi lookups through their XLA
+    formulations (identical math, plain-AD- and hessian-compatible; see
+    ``test_hessian_flows_through_custom_vjp_kernels``).  Only affects traces
+    STARTED inside the context — already-compiled executables are unchanged.
+    """
+    global _PALLAS_ENABLED
+    prev = _PALLAS_ENABLED
+    _PALLAS_ENABLED = False
+    try:
+        yield
+    finally:
+        _PALLAS_ENABLED = prev
+
+
+def pallas_enabled():
+    """Whether fused-Pallas dispatch is currently allowed (see pallas_disabled)."""
+    return _PALLAS_ENABLED
+
+
 def _use_pallas2(xq, f):
     return (
-        _jax.default_backend() == "tpu"
+        _PALLAS_ENABLED
+        and _jax.default_backend() == "tpu"
         and f.dtype == jnp.float32
         and xq.size >= 1024  # tiny query sets are not worth a kernel launch
     )

@@ -144,16 +144,53 @@ def batch_flat_hessian(config, loss_fn, weights, batch):
     """Hessian of the sum-loss w.r.t. the flattened active parameters.
 
     Returns ([P, P] matrix, B) where P = num_active_params * batch_size.
+
+    Always computed on the CPU backend in float64, even from a TPU process:
+
+    * the hessian loss weighs pixels by 1/uncert^2 with the reference's
+      absolute 1e-10 floor (loss.py ``_loss_for_hess_fn_``), so zero-signal
+      pixels contribute ~1e20-scale cotangents whose products overflow f32
+      (NaN rows in H), and even when rescaled into range the f32 hessian is
+      too ill-conditioned for the sigma extraction (measured: sign flips vs
+      f64 on identical inputs);
+    * jacfwd-of-jacrev also cannot cross ``pallas_call`` (no JVP rule), and
+      unjitted ``jax.hessian`` dispatches ops eagerly, which the axon runtime
+      cannot execute — the CPU trace must therefore run with the fused-Pallas
+      dispatch disabled (``pallas_disabled``: ``jax.default_backend()`` still
+      reports "tpu" under ``jax.default_device(cpu)``).
     """
-    spec = get_filter_spec(config["parameters"], weights)
-    diff, static = partition(weights, spec)
-    x0, unravel = ravel_pytree(diff)
+    try:  # public home through jax 0.4.x
+        from jax.experimental import enable_x64
+    except ImportError:  # removed in 0.5+; the config State is a context manager
+        from jax._src.config import enable_x64
 
-    def flat_loss(x):
-        return loss_fn._loss_for_hess_fn_(combine(unravel(x), static), batch)
+    from ...core.physics.interp import pallas_disabled
 
-    H = jax.hessian(flat_loss)(x0)
-    return np.asarray(H)
+    cpu = jax.devices("cpu")[0]
+
+    def host_f64(tree):
+        def cast(a):
+            a = np.asarray(a)
+            if np.issubdtype(a.dtype, np.floating):
+                a = a.astype(np.float64)
+            elif np.issubdtype(a.dtype, np.complexfloating):
+                a = a.astype(np.complex128)
+            return jax.device_put(a, cpu)
+
+        return jax.tree_util.tree_map(cast, tree)
+
+    with enable_x64(True), jax.default_device(cpu), pallas_disabled():
+        weights64 = host_f64(weights)
+        batch64 = host_f64(batch)
+        spec = get_filter_spec(config["parameters"], weights64)
+        diff, static = partition(weights64, spec)
+        x0, unravel = ravel_pytree(diff)
+
+        def flat_loss(x):
+            return loss_fn._loss_for_hess_fn_(combine(unravel(x), static), batch64)
+
+        H = jax.jit(jax.hessian(flat_loss))(x0)
+        return np.asarray(H)
 
 
 def get_sigmas(hess: np.ndarray, batch_size: int) -> np.ndarray:
