@@ -332,7 +332,9 @@ def test_chi_bilinear_lookup_wrapper_pads_and_differentiates():
     C = 3 * nvx - 2
     shape = (7, 100)  # 700 queries: pads 700 -> 1024 (QT=512)
     v0x, dvx = -6.0, 12.0 / nvx
-    v0p, dvp = v0x + dvx / 2, dvx
+    # deliberately DIFFERENT pole-grid origin and spacing: a dvx<->dvp swap
+    # in the meta packing or segment table must not pass
+    v0p, dvp = v0x + 0.37, 1.7 * dvx
 
     Tcat = jnp.asarray(rng.standard_normal((R, C)) * 2, jnp.float32)
     bq = jnp.asarray(rng.uniform(-7, 13, shape), jnp.float32)
