@@ -97,3 +97,17 @@ def test_feature_detector():
     assert_allclose(config["data"]["lineouts"]["end"], known_values["lineout_end"], rtol=1e-1)
     for k in ("iaw_min", "iaw_max", "iaw_cf_min", "iaw_cf_max", "blue_min", "blue_max", "red_min", "red_max"):
         assert_allclose(config["data"]["fit_rng"][k], known_values[k], rtol=1e-1)
+
+
+def test_notch_target_row_is_shot_ranged():
+    """The dewarp's absolute spectral anchor must come from the shot-ranged
+    wavelength calibration — 528 nm sits at DIFFERENT rows for shots in
+    different calibration ranges, so a constant would mis-register one of
+    them (warpcorr.py docstring; values validated against the fitted amp1)."""
+    from tsadar_tpu.utils.data_handling.load_ts_data import _notch_target_row
+
+    r1 = _notch_target_row(101675, (1024, 1024))
+    r2 = _notch_target_row(111411, (1024, 1024))
+    assert abs(r1 - 507.53) < 0.1
+    assert abs(r2 - 512.16) < 0.1
+    assert abs(r1 - r2) > 3.0  # the per-shot difference a constant would lose
