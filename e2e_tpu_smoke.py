@@ -40,6 +40,10 @@ def main():
     inputs.setdefault("optimizer", {}).update(
         {"method": "adam", "num_epochs": 60, "learning_rate": 5e-2, "batch_size": 2}
     )
+    # uncertainties on: the sigma path (f64 hessian on the CPU backend from
+    # the TPU process, postprocess.batch_flat_hessian) regressed silently
+    # once — its failure mode is an exception guard that zeroes every sigma
+    inputs.setdefault("other", {})["calc_sigmas"] = True
     with open(os.path.join(cfg_dir, "inputs.yaml"), "w") as f:
         yaml.safe_dump(inputs, f)
 
@@ -77,6 +81,18 @@ def main():
     checks["artifact_dirs"] = all(os.path.isdir(os.path.join(art_root, d)) for d in expected)
     n_artifacts = len(glob.glob(os.path.join(art_root, "**", "*.*"), recursive=True)) if art_root else 0
     checks["artifact_count"] = n_artifacts >= 10
+
+    # sigma path: all-zero sigmas are the silent-failure signature (the
+    # Hessian call is exception-guarded in postprocess)
+    sig_csvs = glob.glob(os.path.join(runs_dir, "**", "sigmas.csv"), recursive=True)
+    checks["sigmas_exist"] = len(sig_csvs) >= 1
+    if sig_csvs:
+        import pandas as pd
+
+        sig = pd.read_csv(sig_csvs[0]).select_dtypes("number").to_numpy()
+        checks["sigmas_finite_nonzero"] = bool(
+            np.all(np.isfinite(sig)) and np.any(np.abs(sig) > 0)
+        )
 
     ok = all(checks.values())
     print(
