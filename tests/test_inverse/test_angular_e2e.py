@@ -31,7 +31,7 @@ def test_angular_fit_end_to_end(tmp_path):
     config["optimizer"]["learning_rate"] = 5e-3
     config["optimizer"]["checkpoint_dir"] = str(tmp_path / "ckpt")
     config["optimizer"]["checkpoint_freq"] = 4
-    config["other"]["calc_sigmas"] = False
+    config["other"]["calc_sigmas"] = True  # exercises the angular hessian sigma path (reference postprocess.py:130-136)
     config["data"]["launch_data_visualizer"] = False
 
     os.environ["TSADAR_RUNS_DIR"] = str(tmp_path)
@@ -50,3 +50,12 @@ def test_angular_fit_end_to_end(tmp_path):
     from tsadar_tpu.utils.checkpoint import latest_epoch
 
     assert latest_epoch(str(tmp_path / "ckpt")) is not None
+
+    # angular hessian sigmas computed, not silently skipped (the Hessian
+    # call is exception-guarded; all-zero sigmas are the failure signature)
+    import glob
+
+    sig_files = glob.glob(str(tmp_path / "**" / "sigmas_fe.npz"), recursive=True)
+    assert sig_files, "angular sigma artifact missing"
+    sig = np.load(sig_files[0])["sigmas"]
+    assert np.all(np.isfinite(sig)) and np.any(np.abs(sig) > 0)

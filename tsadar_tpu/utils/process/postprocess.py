@@ -73,6 +73,20 @@ def recalculate_with_chosen_weights(
         fits["ele"] = np.asarray(ThryE)
         sqdevs["ele"] = np.asarray(sqds["ele"])
         losses = np.asarray(loss)
+
+        if calc_sigma:
+            # reference parity (postprocess.py:130-136): hessian-based sigmas
+            # for the single angular weight set.  Guarded by parameter count —
+            # a fully-active arbitrary EDF (nvx^2 weights) would need nvx^2
+            # forward-mode basis vectors, which no platform handles.
+            try:
+                hess = batch_flat_hessian(
+                    config, loss_fn, fitted_weights[0], batch, max_params=2048
+                )
+                sigmas = get_sigmas(hess, 1)
+            except Exception as e:
+                print(f"Error calculating angular Hessian ({e}); skipping uncertainties")
+                calc_sigma = False
     else:
         for i_batch, inds in enumerate(batch_indices):
             batch = {
@@ -140,10 +154,13 @@ def recalculate_with_chosen_weights(
     return losses, sqdevs, num_params, fits, sigmas, all_params
 
 
-def batch_flat_hessian(config, loss_fn, weights, batch):
+def batch_flat_hessian(config, loss_fn, weights, batch, max_params=None):
     """Hessian of the sum-loss w.r.t. the flattened active parameters.
 
     Returns ([P, P] matrix, B) where P = num_active_params * batch_size.
+    Raises ValueError if ``max_params`` is given and P exceeds it (jacfwd
+    cost scales with P basis vectors — distribution-function weight sets
+    are too large to hessian directly).
 
     Always computed on the CPU backend in float64, even from a TPU process:
 
@@ -185,6 +202,10 @@ def batch_flat_hessian(config, loss_fn, weights, batch):
         spec = get_filter_spec(config["parameters"], weights64)
         diff, static = partition(weights64, spec)
         x0, unravel = ravel_pytree(diff)
+        if max_params is not None and x0.size > max_params:
+            raise ValueError(
+                f"{x0.size} active parameters exceed the hessian budget ({max_params})"
+            )
 
         def flat_loss(x):
             return loss_fn._loss_for_hess_fn_(combine(unravel(x), static), batch64)
