@@ -28,6 +28,7 @@ TPU-first design decisions (all semantics-preserving):
    jits once and shards over a device mesh at the lineout-batch level.
 """
 
+import functools
 import math
 from functools import partial
 
@@ -72,6 +73,30 @@ REMAT_SPECTRUM_TAIL = False
 
 def _remat_tail_enabled():
     return bool(REMAT_SPECTRUM_TAIL)
+
+
+@functools.lru_cache(maxsize=4)
+def _nudft_trig_tables(B, n):
+    """Host-precomputed NUDFT central-slice trig tables (f64 numpy).
+
+    (ex_r, ex_i) [B*P, n] and (ey_r, ey_i) [B, P, n] for P = 2n, with
+    theta[b, k, j] = 2pi r_k dir_b (j - c) / P on the dense [0, 2pi) angle
+    grid of ``_chi_tables``.  Depends only on static sizes, so the tables
+    enter traced code as constants — see ``_project_all_nudft``.
+    """
+    P = 2 * n
+    c = (n - 1) / 2.0
+    r = np.fft.fftfreq(P) * P
+    idx = np.arange(n, dtype=np.float64) - c
+    betas = np.linspace(0.0, 2.0 * np.pi, B, endpoint=False)
+    argx = (2.0 * np.pi / P) * np.cos(betas)[:, None, None] * r[None, :, None] * idx[None, None, :]
+    argy = (2.0 * np.pi / P) * np.sin(betas)[:, None, None] * r[None, :, None] * idx[None, None, :]
+    return (
+        np.cos(argx).reshape(B * P, n),
+        np.sin(argx).reshape(B * P, n),
+        np.cos(argy),
+        np.sin(argy),
+    )
 
 
 class FormFactor:
@@ -443,28 +468,15 @@ class FormFactor:
         c = (n - 1) / 2.0
 
         r = jnp.fft.fftfreq(P) * P  # [K] signed frequency indices, K = P
-        idx = jnp.arange(n, dtype=DF.dtype) - c  # cell-centered offsets
-        cosb = jnp.cos(betas)  # [B]
-        sinb = jnp.sin(betas)
-
-        # phases theta[b, k, j] = 2pi r_k dir_b (j - c) / P
-        argx = (2.0 * jnp.pi / P) * cosb[:, None, None] * r[None, :, None] * idx[None, None, :]
-        argy = (2.0 * jnp.pi / P) * sinb[:, None, None] * r[None, :, None] * idx[None, None, :]
         B = betas.shape[0]
-        # inner[b, k, y] = sum_x DF[y, x] e^{-i argx[b,k,x]} : two real matmuls.
-        # The trig tables are barriered so they materialize ONCE: without it,
-        # XLA fuses the cos/sin generation into every consumer matmul (two
-        # forward dots + their AD transposes), re-evaluating ~17M
-        # transcendentals per fusion on the VPU — measured ~1.9 ms/iteration
-        # of the ARTS fit step vs ~0.1 ms of extra HBM traffic to store them.
-        ex_r, ex_i, ey_r, ey_i = jax.lax.optimization_barrier(
-            (
-                jnp.cos(argx).reshape(B * P, n),
-                jnp.sin(argx).reshape(B * P, n),
-                jnp.cos(argy),
-                jnp.sin(argy),
-            )
-        )
+        # The trig tables depend only on the STATIC angle grid and grid sizes
+        # (betas is the internal [0, 2pi) linspace; vx enters only through dv
+        # below), so they are host-precomputed f64 numpy constants — no
+        # per-iteration transcendentals at all.  History: computing them
+        # in-graph re-fused the cos/sin into every consumer matmul (~1.9
+        # ms/iteration of VPU work) unless explicitly barriered, and even
+        # barriered they cost ~0.45 ms/iteration to rebuild.
+        ex_r, ex_i, ey_r, ey_i = (jnp.asarray(t, DF.dtype) for t in _nudft_trig_tables(B, n))
         inner_r = (ex_r @ DF.T).reshape(B, P, n)
         inner_i = (-ex_i @ DF.T).reshape(B, P, n)
         # S[b, k] = sum_y e^{-i argy[b,k,y]} inner[b, k, y]
