@@ -163,3 +163,36 @@ def test_sharded_train_step_is_actually_partitioned():
     # and it runs
     dp, state, value = compiled(diff0, state, batch)
     assert np.isfinite(float(value))
+
+
+def test_shard_2v_points_config_plumbing():
+    """`other.shard_2v_points: true` must reach the FormFactor through
+    LossFunction (the CLI/fitter path) — the flag is how a multi-chip ARTS
+    run opts into chi-point sharding."""
+    import os
+
+    import yaml
+
+    from tsadar_tpu.inverse.loss import LossFunction
+    from tsadar_tpu.utils.config import merge_configs, set_forward_ranges
+    from tsadar_tpu.utils.data_handling.calibration import (
+        get_scattering_angles,
+    )
+
+    here = os.path.join(os.path.dirname(__file__), "..", "configs")
+    with open(os.path.join(here, "arts2v_test_defaults.yaml")) as fi:
+        defaults = yaml.safe_load(fi)
+    with open(os.path.join(here, "arts2d_test_inputs.yaml")) as fi:
+        inputs = yaml.safe_load(fi)
+    cfg = set_forward_ranges(merge_configs(defaults, inputs))
+    cfg["other"]["shard_2v_points"] = True
+    sas = get_scattering_angles(cfg)
+    dummy = {"e_data": np.ones((4, 4)), "i_data": np.ones((4, 4))}
+
+    lf = LossFunction(cfg, sas, dummy)
+    ff = lf.ts_diag.model.electron_form_factor
+    assert ff._point_sharding is not None
+
+    cfg["other"]["shard_2v_points"] = False
+    lf2 = LossFunction(cfg, sas, dummy)
+    assert lf2.ts_diag.model.electron_form_factor._point_sharding is None

@@ -110,7 +110,11 @@ def forward_pass(config):
 
         ts_params = ThomsonParams.create(config["parameters"], num_params=1, batch=not is_angular)
         if i == 0:
-            ts_diag = ThomsonScatteringDiagnostic(config, scattering_angles=sas)
+            ts_diag = ThomsonScatteringDiagnostic(
+                config,
+                scattering_angles=sas,
+                shard_2v_points=config["other"].get("shard_2v_points", False),
+            )
             # params enter as a pytree argument: one compile for the whole series
             # (the axon TPU runtime cannot execute ops eagerly at all)
             ts_diag_jit = jax.jit(lambda tp, b: ts_diag(tp, b))

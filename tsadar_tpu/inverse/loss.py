@@ -62,7 +62,14 @@ class LossFunction:
         # multiplexed two-shot angular analysis with EDF rotation
         self.multiplex_ang = isinstance(cfg["data"]["shotnum"], list) if "shotnum" in cfg["data"] else False
 
-        self.ts_diag = ThomsonScatteringDiagnostic(cfg, scattering_angles=scattering_angles, mode_2v=mode_2v)
+        self.ts_diag = ThomsonScatteringDiagnostic(
+            cfg,
+            scattering_angles=scattering_angles,
+            mode_2v=mode_2v,
+            # multi-chip ARTS: split the ~250k chi evaluation points across the
+            # mesh (reference parallel_calc_all_chi_vals, form_factor.py:431-447)
+            shard_2v_points=cfg["other"].get("shard_2v_points", False),
+        )
 
         self._loss_ = jax.jit(self.__loss__)
         self._vg_func_ = jax.jit(jax.value_and_grad(self.__loss__, has_aux=True))

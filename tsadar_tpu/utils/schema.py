@@ -175,6 +175,7 @@ def _check_other(cfg):
         _fail(("other", "CCDsize"), f"expected a 2-list [ny, nx], got {ccd!r}")
     _check_num(cfg, ("other", "points_per_pixel",), positive=True, integer=True)
     _check_num(cfg, ("other", "gain"), positive=True)
+    _check_bool(cfg, ("other", "shard_2v_points"))
     iawf = _get(cfg, ("other", "iawfilter"))
     if iawf is not _MISSING and (not isinstance(iawf, (list, tuple)) or len(iawf) != 4):
         _fail(("other", "iawfilter"), f"expected [on, OD, width_nm, center_nm], got {iawf!r}")
