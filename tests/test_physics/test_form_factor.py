@@ -9,6 +9,8 @@ Oracles (mirroring the reference test strategy, tests/test_form_factor/):
   redesigned table-based 2V path), and table mode matches exact mode.
 """
 
+from functools import partial
+
 import numpy as np
 import pytest
 from numpy.testing import assert_allclose
@@ -282,3 +284,81 @@ def test_remat_tail_grad_equivalence(monkeypatch):
     # checkpoint changes the fusion schedule, so allow f64 reassociation ulps
     assert_allclose(float(v0), float(v1), rtol=1e-13)
     assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-12)
+
+
+def test_kinematics_custom_vjp_matches_autodiff():
+    """The analytic kinematics VJP equals plain autodiff (CPU f64).
+
+    The TPU fit step dispatches ``_kinematics_cvjp`` (one fused reduction
+    pass) in place of XLA's transposed chain rule; this pins every term of
+    the hand-derived rule — all five parameter cotangents, through all six
+    output fields — against autodiff of the shared primal, including the
+    [G > 1] gradient-profile axis and vmap batching.
+    """
+    from tsadar_tpu.core.physics import form_factor as ff_mod
+
+    rng = np.random.default_rng(3)
+    L, A, G = 64, 3, 2
+    sarad = jnp.asarray(np.deg2rad(np.array([40.0, 60.0, 120.0])).reshape(1, 1, -1))
+    lamAxis = np.linspace(450.0, 650.0, L)
+    omgs = jnp.asarray(2.0e7 * np.pi * C / lamAxis)[None, :, None]
+    # random but physical per-lineout scalars (ne in 1e20 cm^-3 units pre-scale)
+    ne = jnp.asarray(1.0e20 * rng.uniform(0.1, 0.4, G))
+    Te = jnp.asarray(rng.uniform(0.3, 1.2, G))
+    lam = jnp.asarray(526.5)
+    Va = jnp.asarray(2.0e6)
+    ud = jnp.asarray(-1.5e6)
+    # random output weights exercise every cotangent path at once
+    outs0 = ff_mod._kinematics_fields(sarad, omgs, ne, Te, lam, Va, ud)
+    ws = [jnp.asarray(rng.standard_normal(np.shape(o))) for o in outs0]
+
+    def loss(fn, ne, Te, lam, Va, ud):
+        outs = fn(sarad, omgs, ne, Te, lam, Va, ud)
+        # normalize each field so the summed loss is O(1) per field
+        return sum(jnp.sum(w * o) / jnp.max(jnp.abs(jax.lax.stop_gradient(o))) for w, o in zip(ws, outs))
+
+    args = (ne, Te, lam, Va, ud)
+    v0, g0 = jax.value_and_grad(partial(loss, ff_mod._kinematics_fields), argnums=(0, 1, 2, 3, 4))(*args)
+    v1, g1 = jax.value_and_grad(partial(loss, ff_mod._kinematics_cvjp), argnums=(0, 1, 2, 3, 4))(*args)
+    assert_allclose(float(v0), float(v1), rtol=1e-14)
+    for a, b, name in zip(g0, g1, ["ne", "Te", "lam", "Va", "ud"]):
+        assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-10, err_msg=name)
+
+    # batched (vmap over lineouts), jitted — the production shape
+    batch = lambda x, n: jnp.stack([x * (1.0 + 0.01 * i) for i in range(n)])
+    bargs = tuple(batch(a, 4) for a in args)
+
+    def bloss(fn, *a):
+        outs = jax.vmap(lambda *xa: fn(sarad, omgs, *xa))(*a)
+        return sum(jnp.sum(w * o) / jnp.max(jnp.abs(jax.lax.stop_gradient(o))) for w, o in zip(ws, outs))
+
+    gv0 = jax.jit(jax.grad(partial(bloss, ff_mod._kinematics_fields), argnums=(0, 1, 2, 3, 4)))(*bargs)
+    gv1 = jax.jit(jax.grad(partial(bloss, ff_mod._kinematics_cvjp), argnums=(0, 1, 2, 3, 4)))(*bargs)
+    for a, b, name in zip(gv0, gv1, ["ne", "Te", "lam", "Va", "ud"]):
+        assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-10, err_msg=name)
+
+
+def test_kinematics_vjp_dispatch_full_model(monkeypatch):
+    """Forcing the kinematics custom VJP through the full 1V model changes
+    neither the spectrum nor its gradients (dispatch wiring, not just math)."""
+    from tsadar_tpu.core.physics import form_factor as ff_mod
+
+    vx, fe = _maxwellian_1v(nv=512)
+    ff = FormFactor(
+        [400, 700], npts=256, lam_shift=0.0, scattering_angles={"sa": np.array([60.0])}, num_grad_points=1
+    )
+
+    def loss(Te, ne, lam, Va, ud):
+        S, _ = ff(_params(fe, vx, Te=Te, ne=ne, lam=lam, Va=Va, ud=ud))
+        return jnp.sum(S**2) * 1e10
+
+    vg = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))
+    args = (0.5, 0.22, 526.5, 0.3, 0.1)
+    monkeypatch.setattr(ff_mod, "_use_kinematics_vjp", lambda: False)
+    v0, g0 = jax.jit(vg)(*args)
+    jax.clear_caches()
+    monkeypatch.setattr(ff_mod, "_use_kinematics_vjp", lambda: True)
+    v1, g1 = jax.jit(vg)(*args)
+
+    assert_allclose(float(v0), float(v1), rtol=1e-13)  # identical primal
+    assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-9)

@@ -48,6 +48,7 @@ from .interp import (
     periodic_linear_rowmix,
     select_columns_linear,
     chi_bilinear_lookup,
+    pallas_enabled,
 )
 from .zprime import zprime
 
@@ -99,6 +100,117 @@ def _nudft_trig_tables(B, n):
     )
 
 
+# probe angular-frequency numerator: omgL = OMGL_NUM / lam  (lam in nm, omgL in 1/s)
+OMGL_NUM = 2.0 * np.pi * 1.0e7 * C
+
+
+def _kinematics_fields(sarad, omgs, ne, Te, lam, Va, ud):
+    """Scattering kinematics fields [G, L, A] from per-lineout plasma scalars.
+
+    Shared primal for both AD paths (plain autodiff and the analytic custom
+    VJP below) so the forward stays bitwise identical whichever is dispatched.
+    Physics parity: reference form_factor.py:201-229.
+    """
+    omgL = OMGL_NUM / lam
+    omgpe = PLASMA_FREQ_CONST * jnp.sqrt(ne[..., None, None])  # [G,1,1]
+    omg = omgs - omgL
+
+    ks = jnp.sqrt(omgs**2 - omgpe**2) / C
+    kL = jnp.sqrt(omgL**2 - omgpe**2) / C
+    k = jnp.sqrt(ks**2 + kL**2 - 2.0 * ks * kL * jnp.cos(sarad))  # [G,L,A]
+
+    omgdop = omg - k * Va
+
+    vTe = jnp.sqrt(Te[..., None, None] / ME_KEV)  # [G,1,1]
+    klde = (vTe / omgpe) * k
+    xie = omgdop / (k * vTe) - ud / vTe  # [G,L,A]
+    return omgL, k, omgdop, vTe, klde, xie
+
+
+@jax.custom_vjp
+def _kinematics_cvjp(sarad, omgs, ne, Te, lam, Va, ud):
+    """``_kinematics_fields`` with an analytic one-pass reverse rule.
+
+    Why: the kinematics maps 5 per-lineout scalars to six [G, L, A] fields,
+    and XLA's transposed chain rule materializes a tuple of [B, G, L, A]
+    intermediate cotangents per scalar (measured ~2.3 ms of the ~18 ms bench
+    fit step, the largest non-kernel cluster — docs/performance.md).  The
+    analytic rule recomputes the cheap fields from the saved scalars and
+    reduces the four incoming [G, L, A] cotangents in one fused pass, writing
+    only scalar-sized outputs.  Dispatched on TPU only (same gate as the
+    Pallas kernels: ``custom_vjp`` has no forward-mode rule, and the CPU-f64
+    hessian/golden paths keep plain autodiff).
+    """
+    return _kinematics_fields(sarad, omgs, ne, Te, lam, Va, ud)
+
+
+def _kin_fwd(sarad, omgs, ne, Te, lam, Va, ud):
+    return _kinematics_fields(sarad, omgs, ne, Te, lam, Va, ud), (sarad, omgs, ne, Te, lam, Va, ud)
+
+
+def _kin_bwd(res, cts):
+    sarad, omgs, ne, Te, lam, Va, ud = res
+    gL_in, gk, gd, gv, ge, gx = cts
+
+    # recompute the forward fields (cheap; fuses into the reduction pass)
+    omgL = OMGL_NUM / lam
+    ne_e = ne[..., None, None]
+    omgpe = PLASMA_FREQ_CONST * jnp.sqrt(ne_e)
+    ks = jnp.sqrt(omgs**2 - omgpe**2) / C
+    kL = jnp.sqrt(omgL**2 - omgpe**2) / C
+    costh = jnp.cos(sarad)
+    k = jnp.sqrt(ks**2 + kL**2 - 2.0 * ks * kL * costh)
+    omgdop = (omgs - omgL) - k * Va
+    vTe = jnp.sqrt(Te[..., None, None] / ME_KEV)
+    inv_kvTe = 1.0 / (k * vTe)
+    xie = omgdop * inv_kvTe - ud / vTe
+
+    # accumulate the total cotangents on the intermediate fields
+    gd_tot = gd + gx * inv_kvTe  # xie = omgdop/(k vTe) - ud/vTe
+    gk_tot = (
+        gk
+        - Va * gd_tot  # omgdop = omg - k Va
+        - gx * omgdop * inv_kvTe / k  # d xie/d k at fixed omgdop
+        + ge * (vTe / omgpe)  # klde = vTe k / omgpe
+    )
+    # k = sqrt(ks^2 + kL^2 - 2 ks kL cos): dk/dks=(ks-kL c)/k, dk/dkL=(kL-ks c)/k
+    dk_dks = (ks - kL * costh) / k
+    dk_dkL = (kL - ks * costh) / k
+
+    # ne:  omgpe = Cp sqrt(ne); dks/domgpe = -omgpe/(C^2 ks); dkL likewise;
+    #      dklde/domgpe = -vTe k/omgpe^2; domgpe/dne = omgpe/(2 ne)
+    g_omgpe = gk_tot * (dk_dks * (-omgpe / (C**2 * ks)) + dk_dkL * (-omgpe / (C**2 * kL))) + ge * (
+        -vTe * k / omgpe**2
+    )
+    g_ne = jnp.reshape(
+        jnp.sum(g_omgpe * (omgpe / (2.0 * ne_e)), axis=(-1, -2)), jnp.shape(ne)
+    )
+
+    # Te:  vTe = sqrt(Te/me); dvTe/dTe = 1/(2 vTe me); dxie/dvTe = -xie/vTe
+    g_vTe = gv + jnp.sum(ge * (k / omgpe) + gx * (-xie / vTe), axis=(-1, -2), keepdims=True)
+    g_Te = jnp.reshape(
+        jnp.sum(g_vTe / (2.0 * vTe * ME_KEV), axis=(-1, -2)), jnp.shape(Te)
+    )
+
+    # lam: omgL = OMGL_NUM/lam; omg = omgs - omgL; dkL/domgL = omgL/(C^2 kL)
+    g_omgL = jnp.sum(gL_in) - jnp.sum(gd_tot) + jnp.sum(gk_tot * dk_dkL * (omgL / (C**2 * kL)))
+    g_lam = jnp.reshape(g_omgL * (-OMGL_NUM / lam**2), jnp.shape(lam))
+
+    g_Va = jnp.reshape(jnp.sum(gd_tot * (-k)), jnp.shape(Va))
+    g_ud = jnp.reshape(jnp.sum(gx * (-1.0 / vTe)), jnp.shape(ud))
+
+    return (jnp.zeros_like(sarad), jnp.zeros_like(omgs), g_ne, g_Te, g_lam, g_Va, g_ud)
+
+
+_kinematics_cvjp.defvjp(_kin_fwd, _kin_bwd)
+
+
+def _use_kinematics_vjp():
+    """TPU-only, and off inside hessian traces (same gate as Pallas dispatch:
+    ``custom_vjp`` cannot be forward-differentiated)."""
+    return jax.default_backend() == "tpu" and pallas_enabled()
+
+
 class FormFactor:
     """Spectral density function calculator.
 
@@ -139,7 +251,7 @@ class FormFactor:
         minmax = 8.2
         h1 = 1024
         lamAxis = np.linspace(lambda_range[0], lambda_range[1], npts)
-        self.omgL_num = 2.0 * np.pi * 1.0e7 * C
+        self.omgL_num = OMGL_NUM
         omgs = 2.0e7 * np.pi * C / lamAxis  # scattered frequency axis [1/s]
         self.omgs = jnp.asarray(omgs)[None, :, None]  # [1, L, 1]
         self.lamAxis = jnp.asarray(lamAxis)[None, :, None]
@@ -241,24 +353,14 @@ class FormFactor:
         Shared between ``__call__`` (to form the table-lookup queries) and the
         rematerialized ``_spectrum_tail`` (which recomputes them in the
         backward instead of storing them as residuals) — one definition keeps
-        the two evaluations bitwise identical.
+        the two evaluations bitwise identical.  On TPU (outside hessian
+        traces) the analytic custom VJP replaces XLA's transposed chain rule;
+        see ``_kinematics_cvjp``.
         """
         sarad = (self.scattering_angles["sa"] * jnp.pi / 180.0).reshape(1, 1, -1)
-        omgL = self.omgL_num / lam
-
-        omgpe = PLASMA_FREQ_CONST * jnp.sqrt(ne[..., None, None])  # [G,1,1]
-        omg = self.omgs - omgL
-
-        ks = jnp.sqrt(self.omgs**2 - omgpe**2) / C
-        kL = jnp.sqrt(omgL**2 - omgpe**2) / C
-        k = jnp.sqrt(ks**2 + kL**2 - 2.0 * ks * kL * jnp.cos(sarad))  # [G,L,A]
-
-        omgdop = omg - k * Va
-
-        vTe = jnp.sqrt(Te[..., None, None] / ME_KEV)  # [G,1,1]
-        klde = (vTe / omgpe) * k
-        xie = omgdop / (k * vTe) - ud / vTe  # [G,L,A]
-        return omgL, k, omgdop, vTe, klde, xie
+        if _use_kinematics_vjp():
+            return _kinematics_cvjp(sarad, self.omgs, ne, Te, lam, Va, ud)
+        return _kinematics_fields(sarad, self.omgs, ne, Te, lam, Va, ud)
 
     def _spectrum_tail(self, lf, chiERraw, ne, Te, lam, Va, ud, A, Z, Ti, fract):
         """chi combination + S(k, omega) assembly from the two lookup outputs.
