@@ -338,6 +338,98 @@ def test_kinematics_custom_vjp_matches_autodiff():
         assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-10, err_msg=name)
 
 
+def test_assembly_custom_vjp_matches_autodiff():
+    """The analytic spectrum-assembly VJP equals plain autodiff (CPU f64).
+
+    Pins every term of the hand-derived reverse rule for ``_assemble_cvjp``
+    — all 15 differentiable inputs, including the species axis (xii, vTi, Z,
+    fract, Zbar) and the broadcastable shapes — against autodiff of the
+    shared primal, plus vmap batching over lineouts.
+    """
+    from tsadar_tpu.core.physics import form_factor as ff_mod
+
+    rng = np.random.default_rng(7)
+    G, L, A, S = 2, 32, 3, 2
+    shp = (G, L, A)
+
+    def mk(*shape, lo=0.5, hi=1.5):
+        return jnp.asarray(rng.uniform(lo, hi, shape))
+
+    args = (
+        mk(*shp) * 1e5,  # k_mag
+        mk(*shp, lo=-0.5, hi=0.5),  # ceR
+        mk(*shp, lo=-0.5, hi=0.5),  # ceI
+        mk(*shp, lo=-0.5, hi=0.5),  # ciR
+        mk(*shp, lo=-0.5, hi=0.5),  # ciI
+        mk(*shp) * 1e-7,  # fe_vphi
+        mk(G, 1, 1) * 1e9,  # vTe
+        mk(G, L, A, S, lo=-2.0, hi=2.0),  # xii
+        mk(1, 1, 1, S) * 1e7,  # vTi
+        mk(1, 1, 1, S, lo=1.0, hi=7.0),  # Z
+        mk(1, 1, 1, S, lo=0.2, hi=0.8),  # fract
+        jnp.asarray(3.7),  # Zbar
+        mk(*shp, lo=-1.0, hi=1.0) * 1e14,  # omgdop
+        jnp.asarray(3.5e15),  # omgL
+        mk(G) * 1e20,  # ne
+        jnp.asarray(np.linspace(450.0, 650.0, L)).reshape(1, L, 1),  # lams
+    )
+    w = jnp.asarray(rng.standard_normal(shp))
+
+    def loss(fn, *a):
+        out = fn(*a, args[-1])
+        return jnp.sum(w * out) / jnp.max(jnp.abs(jax.lax.stop_gradient(out)))
+
+    dn = tuple(range(15))
+    diff_args = args[:15]
+    v0, g0 = jax.value_and_grad(partial(loss, ff_mod._assemble_fields), argnums=dn)(*diff_args)
+    v1, g1 = jax.value_and_grad(partial(loss, ff_mod._assemble_cvjp), argnums=dn)(*diff_args)
+    names = "k ceR ceI ciR ciI fe vTe xii vTi Z fract Zbar omgdop omgL ne".split()
+    assert_allclose(float(v0), float(v1), rtol=1e-14)
+    for a, b, name in zip(g0, g1, names):
+        assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-10, atol=1e-300, err_msg=name)
+
+    # vmapped over a lineout batch (the production context), jitted
+    B = 3
+    batch = lambda x: jnp.stack([x * (1.0 + 0.01 * i) for i in range(B)])
+    bargs = tuple(batch(a) for a in diff_args)
+
+    def bloss(fn, *a):
+        out = jax.vmap(lambda *xa: fn(*xa, args[-1]))(*a)
+        return jnp.sum(w * out) / jnp.max(jnp.abs(jax.lax.stop_gradient(out)))
+
+    gv0 = jax.jit(jax.grad(partial(bloss, ff_mod._assemble_fields), argnums=dn))(*bargs)
+    gv1 = jax.jit(jax.grad(partial(bloss, ff_mod._assemble_cvjp), argnums=dn))(*bargs)
+    for a, b, name in zip(gv0, gv1, names):
+        assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-10, atol=1e-300, err_msg=name)
+
+
+def test_assembly_real_split_matches_complex():
+    """``_assemble_fields`` (real-split) reproduces the complex
+    ``_assemble_spectrum`` formulation to f64 rounding, values and grads."""
+    from tsadar_tpu.core.physics import form_factor as ff_mod
+
+    vx, fe = _maxwellian_1v(nv=256)
+    ff = FormFactor(
+        [400, 700], npts=128, lam_shift=0.0, scattering_angles={"sa": np.array([60.0])}, num_grad_points=1
+    )
+
+    def loss(use_cvjp, Te, ne, Ti):
+        # force the gate rather than the backend so this stays a CPU test
+        ff_mod_gate = ff_mod._use_kinematics_vjp
+        ff_mod._use_kinematics_vjp = lambda: use_cvjp
+        try:
+            S, _ = ff(_params(fe, vx, Te=Te, ne=ne, Ti=Ti))
+        finally:
+            ff_mod._use_kinematics_vjp = ff_mod_gate
+        return jnp.sum(S**2) * 1e10
+
+    args = (0.6, 0.25, 0.25)
+    v0, g0 = jax.value_and_grad(partial(loss, False), argnums=(0, 1, 2))(*args)
+    v1, g1 = jax.value_and_grad(partial(loss, True), argnums=(0, 1, 2))(*args)
+    assert_allclose(float(v1), float(v0), rtol=1e-12)
+    assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-9)
+
+
 def test_kinematics_vjp_dispatch_full_model(monkeypatch):
     """Forcing the kinematics custom VJP through the full 1V model changes
     neither the spectrum nor its gradients (dispatch wiring, not just math)."""

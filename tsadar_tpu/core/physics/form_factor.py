@@ -206,9 +206,156 @@ _kinematics_cvjp.defvjp(_kin_fwd, _kin_bwd)
 
 
 def _use_kinematics_vjp():
-    """TPU-only, and off inside hessian traces (same gate as Pallas dispatch:
-    ``custom_vjp`` cannot be forward-differentiated)."""
+    """Gate for ALL analytic custom-VJP dispatches in this module (kinematics
+    and spectrum assembly): TPU-only, and off inside hessian traces (same gate
+    as Pallas dispatch: ``custom_vjp`` cannot be forward-differentiated)."""
     return jax.default_backend() == "tpu" and pallas_enabled()
+
+
+def _unbroadcast(g, shape):
+    """Sum a full-shape cotangent down to a broadcast input's shape."""
+    if jnp.shape(g) == tuple(shape):
+        return g
+    # leading axes that were added by broadcasting
+    extra = len(jnp.shape(g)) - len(shape)
+    if extra > 0:
+        g = jnp.sum(g, axis=tuple(range(extra)))
+    # size-1 axes that were stretched
+    axes = tuple(i for i, s in enumerate(shape) if s == 1 and jnp.shape(g)[i] != 1)
+    if axes:
+        g = jnp.sum(g, axis=axes, keepdims=True)
+    return jnp.reshape(g, shape)
+
+
+def _assemble_fields(k_mag, ceR, ceI, ciR, ciI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne, lams):
+    """``_assemble_spectrum``'s math on real/imag-split susceptibilities.
+
+    Shared primal for the analytic assembly VJP (``_assemble_cvjp``); the
+    non-TPU path keeps the complex formulation in ``_assemble_spectrum``
+    (equal up to |z|^2 = sqrt(re^2+im^2)^2 vs re^2+im^2 rounding).
+    Physics parity: reference form_factor.py:273-298.
+    """
+    epsR = 1.0 + ceR + ciR
+    epsI = ceI + ciI
+    E2 = epsR**2 + epsI**2
+    AE2 = ceR**2 + ceI**2  # |chiE|^2
+    BI2 = (1.0 + ciR) ** 2 + ciI**2  # |1 + chiI|^2
+
+    icf = jnp.transpose(fract * Z**2 / Zbar / vTi, [1, 0, 2, 3])
+    ion_comp = icf * (AE2[..., None] * jnp.exp(-(xii**2)) / jnp.sqrt(2.0 * jnp.pi))
+    ele_comp = BI2 * fe_vphi / vTe
+
+    SKW_ion = jnp.sum(1.0 / k_mag[..., None] * ion_comp / E2[..., None], axis=3)
+    SKW_ele = 1.0 / k_mag * ele_comp / E2
+
+    PsOmg = (SKW_ion + SKW_ele) * (1.0 + 2.0 * omgdop / omgL) * RE_CM**2 * ne[:, None, None]
+    return PsOmg * 2.0 * jnp.pi * C / lams**2
+
+
+@jax.custom_vjp
+def _assemble_cvjp(k_mag, ceR, ceI, ciR, ciI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne, lams):
+    """``_assemble_fields`` with an analytic one-pass reverse rule.
+
+    Why: the S(k, omega) assembly is a chain of ~10 elementwise stages over
+    [G, L, A](,S) fields, and XLA's transposed chain rule runs it as many
+    separate HBM-bound fusions (~2.2 ms/iteration of the bench fit step,
+    the largest remaining non-kernel cluster after the kinematics VJP —
+    docs/performance.md).  The analytic rule recomputes the cheap forward
+    fields from the saved inputs and emits every input cotangent in one
+    fused elementwise pass.  Dispatched on TPU only (``_use_kinematics_vjp``
+    gate); CPU/hessian paths keep plain autodiff of the complex form.
+    Used by both the 1V ``__call__`` and the 2V ``calc_in_2D`` assembly.
+    """
+    return _assemble_fields(k_mag, ceR, ceI, ciR, ciI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne, lams)
+
+
+def _asm_fwd(*args):
+    return _assemble_fields(*args), args
+
+
+def _asm_bwd(res, g):
+    k_mag, ceR, ceI, ciR, ciI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne, lams = res
+
+    # recompute the forward fields (cheap; fuses into the cotangent pass)
+    invk = 1.0 / k_mag
+    epsR = 1.0 + ceR + ciR
+    epsI = ceI + ciI
+    E2 = epsR**2 + epsI**2
+    invE2 = 1.0 / E2
+    AE2 = ceR**2 + ceI**2
+    BI2 = (1.0 + ciR) ** 2 + ciI**2
+    G2 = jnp.exp(-(xii**2)) / jnp.sqrt(2.0 * jnp.pi)  # [G,L,A,S]
+    icf = jnp.transpose(fract * Z**2 / Zbar / vTi, [1, 0, 2, 3])  # [1,1,1,S]
+    SA = jnp.sum(icf * G2, axis=3)  # [G,L,A]
+    base = invk * invE2
+    ele_over_vTe = BI2 * fe_vphi / vTe
+    SKW_ion = AE2 * SA * base
+    SKW_ele = ele_over_vTe * base
+    S = SKW_ion + SKW_ele
+    w2 = 1.0 + 2.0 * omgdop / omgL
+    nee = ne[:, None, None]
+    wl = 2.0 * jnp.pi * C / lams**2
+
+    # PsLam = S * w2 * RE^2 * nee * wl
+    gs = g * wl * RE_CM**2  # cotangent on (S * w2 * nee)
+    gS = gs * w2 * nee  # cotangent on both SKW terms
+    g_w2 = gs * S * nee
+    g_omgdop = g_w2 * (2.0 / omgL)
+    g_omgL = jnp.reshape(
+        jnp.sum(g_w2 * (-2.0 * omgdop / omgL**2)), jnp.shape(omgL)
+    )
+    g_ne = jnp.reshape(_unbroadcast(gs * S * w2, jnp.shape(nee)), jnp.shape(ne))
+
+    # SKW_ion = AE2 * SA * base ; SKW_ele = BI2 * fe / vTe * base
+    g_AE2 = gS * SA * base
+    g_SA = gS * AE2 * base
+    g_BI2 = gS * fe_vphi / vTe * base
+    g_fe = gS * BI2 / vTe * base
+    g_vTe = _unbroadcast(-gS * SKW_ele / vTe, jnp.shape(vTe))
+    g_base = gS * (AE2 * SA + ele_over_vTe)
+    g_k = -g_base * invE2 * invk**2
+    g_E2 = -g_base * invk * invE2**2
+
+    g_epsR = 2.0 * epsR * g_E2
+    g_epsI = 2.0 * epsI * g_E2
+    g_ceR = g_epsR + 2.0 * ceR * g_AE2
+    g_ceI = g_epsI + 2.0 * ceI * g_AE2
+    g_ciR = g_epsR + 2.0 * (1.0 + ciR) * g_BI2
+    g_ciI = g_epsI + 2.0 * ciI * g_BI2
+
+    # SA = sum_s icf[s] G2[s];  G2 = exp(-xii^2)/sqrt(2pi)
+    g_xii = g_SA[..., None] * icf * G2 * (-2.0 * xii)
+    g_icf = _unbroadcast(g_SA[..., None] * G2, jnp.shape(icf))
+    # icf = transpose(fract Z^2 / (Zbar vTi)); the [1,0,2,3] transpose is its
+    # own inverse, so the cotangent transposes straight back
+    g_icf_t = jnp.transpose(g_icf, [1, 0, 2, 3])
+    pre = fract * Z**2 / Zbar / vTi
+    g_fract = _unbroadcast(g_icf_t * Z**2 / Zbar / vTi, jnp.shape(fract))
+    g_Z = _unbroadcast(g_icf_t * 2.0 * Z * fract / Zbar / vTi, jnp.shape(Z))
+    g_vTi = _unbroadcast(-g_icf_t * pre / vTi, jnp.shape(vTi))
+    g_Zbar = jnp.reshape(jnp.sum(-g_icf_t * pre / Zbar), jnp.shape(Zbar))
+
+    return (
+        g_k,
+        g_ceR,
+        g_ceI,
+        g_ciR,
+        g_ciI,
+        g_fe,
+        g_vTe,
+        g_xii,
+        g_vTi,
+        g_Z,
+        g_fract,
+        g_Zbar,
+        g_omgdop,
+        g_omgL,
+        g_ne,
+        jnp.zeros_like(lams),  # lams is the constant output axis
+    )
+
+
+_assemble_cvjp.defvjp(_asm_fwd, _asm_bwd)
 
 
 class FormFactor:
@@ -394,7 +541,34 @@ class FormFactor:
         )
 
     def _assemble_spectrum(self, k_mag, chiE, chiI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne):
-        """Final S(k,w) assembly (form_factor.py:273-298)."""
+        """Final S(k,w) assembly (form_factor.py:273-298).
+
+        On TPU (outside hessian traces) the analytic assembly VJP replaces
+        XLA's transposed chain rule; see ``_assemble_cvjp``.  The complex
+        formulation below is kept for the CPU/f64 and hessian paths.
+        """
+        lams = 2.0 * jnp.pi * C / self.omgs
+        if _use_kinematics_vjp():
+            PsLam = _assemble_cvjp(
+                k_mag,
+                jnp.real(chiE),
+                jnp.imag(chiE),
+                jnp.real(chiI),
+                jnp.imag(chiI),
+                fe_vphi,
+                vTe,
+                xii,
+                vTi,
+                Z,
+                fract,
+                Zbar,
+                omgdop,
+                omgL,
+                ne,
+                lams,
+            )
+            return PsLam, lams
+
         epsilon = 1.0 + chiE + chiI
 
         ion_comp_fact = jnp.transpose(fract * Z**2 / Zbar / vTi, [1, 0, 2, 3])
@@ -409,7 +583,6 @@ class FormFactor:
         SKW_ele = 1.0 / k_mag * ele_comp / (jnp.abs(epsilon) ** 2)
 
         PsOmg = (SKW_ion + SKW_ele) * (1.0 + 2.0 * omgdop / omgL) * RE_CM**2 * ne[:, None, None]
-        lams = 2.0 * jnp.pi * C / self.omgs
         PsLam = PsOmg * 2.0 * jnp.pi * C / lams**2
         return PsLam, lams
 
