@@ -358,6 +358,213 @@ def _asm_bwd(res, g):
 _assemble_cvjp.defvjp(_asm_fwd, _asm_bwd)
 
 
+# --------------------------------------------------------------------------
+# Fused reduced tail: lookup outputs -> angle-weighted, gradient-averaged
+# spectrum, as ONE custom-VJP boundary.
+#
+# Why a third (outer) analytic VJP: the per-stage custom VJPs above
+# (`_kinematics_cvjp`, `_assemble_cvjp`) save their INPUTS as residuals — a
+# dozen computed [G, L, A](,S) fields per form-factor instance (ceR/ceI,
+# fe_vphi, xii, omgdop, ...) that XLA must therefore materialize to HBM
+# between the forward and backward passes (~21 MB each at bench shapes).
+# Treating the whole tail — kinematics + ion susceptibility + df chain +
+# S(k, omega) assembly + the angle/gradient reduction — as one differentiable
+# unit shrinks the residual set to exactly the two table-lookup outputs plus
+# the per-lineout scalars; everything else is recomputed inside the one-pass
+# backward, where it fuses with the cotangent math instead of round-tripping
+# HBM.  Folding the reduction in also means the incoming cotangent is [L]
+# rather than [G, L, A].  Reference semantics: form_factor.py:201-298 +
+# generate_spectra.py:194-197 (the non-angular weighted angle sum).
+# --------------------------------------------------------------------------
+
+
+def _ion_fields(omgdop, k_mag, ne, Z, Ti, fract, A):
+    """Real/imag-split ion susceptibility fields (module-level twin of
+    ``FormFactor._ion_susceptibility`` for the fused reduced-tail path;
+    identical expressions so the forward stays bitwise-equal)."""
+    Mi = A * MP_KEV
+    Zbar = jnp.sum(Z * fract)
+    ni = fract * ne[..., None, None, None] / Zbar  # [G,1,1,S]
+    omgpi = PLASMA_FREQ_CONST * Z * jnp.sqrt(ni * ME_KEV / Mi)
+    vTi = jnp.sqrt(Ti / Mi)  # [1,1,1,S]
+    kldi = (vTi / omgpi) * k_mag[..., None]  # [G,L,A,S]
+    xii = (omgdop / k_mag)[..., None] / (jnp.sqrt(2.0) * vTi)
+    ZpiR, ZpiI = zprime(xii)
+    ciR = jnp.sum(-0.5 / (kldi**2) * ZpiR, axis=3)  # [G,L,A]
+    ciI = jnp.sum(-0.5 / (kldi**2) * ZpiI, axis=3)
+    return ciR, ciI, xii, vTi, Zbar, kldi, omgpi, ni, Mi
+
+
+def _reduced_tail(lf, chiERraw, ne, Te, lam, Va, ud, A, Z, Ti, fract, weights, sarad, omgs):
+    """Angle-weighted, gradient-averaged spectrum [L] from the two lookups.
+
+    Same operations in the same order as ``_spectrum_tail`` followed by
+    ``sum(mean(PsLam, 0) * weights, -1)`` (the SpectrumModel reduction), so the
+    forward is bitwise-equal to the composed path on every backend.
+    """
+    omgL, k, omgdop, vTe, klde, xie = _kinematics_fields(sarad, omgs, ne, Te, lam, Va, ud)
+    ciR, ciI, xii, vTi, Zbar = _ion_fields(omgdop, k, ne, Z, Ti, fract, A)[:5]
+
+    fe_vphi = jnp.exp(lf)
+    df = jnp.diff(fe_vphi, 1, axis=1) / jnp.diff(xie, 1, axis=1)
+    df = jnp.concatenate([df, jnp.zeros_like(df[:, :1, :])], axis=1)
+    # Landau sign: see the 1V chiEI comment in _spectrum_tail (KK-consistent minus)
+    ceR = -1.0 / (klde**2) * chiERraw
+    ceI = -jnp.pi / (klde**2) * df
+
+    lams = 2.0 * jnp.pi * C / omgs
+    PsLam = _assemble_fields(
+        k, ceR, ceI, ciR, ciI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne, lams
+    )
+    return jnp.sum(jnp.mean(PsLam, axis=0) * weights, axis=1)
+
+
+@jax.custom_vjp
+def _reduced_tail_cvjp(lf, chiERraw, ne, Te, lam, Va, ud, A, Z, Ti, fract, weights, sarad, omgs):
+    """``_reduced_tail`` with a one-pass analytic reverse rule.
+
+    Residuals are the primal INPUTS only (two [G, L, A] fields + scalars); the
+    backward recomputes every intermediate and emits all cotangents in one
+    fused pass, composing ``_asm_bwd`` and ``_kin_bwd`` with analytic rules
+    for the two stages those don't cover (the ion-susceptibility chain through
+    Z' and the df spectral-difference chain).  ``A``/``weights``/grid constants
+    get zero cotangents (non-trainable by convention).  TPU-only dispatch —
+    CPU/f64 and hessian traces use the plain-autodiff ``_reduced_tail``.
+    """
+    return _reduced_tail(lf, chiERraw, ne, Te, lam, Va, ud, A, Z, Ti, fract, weights, sarad, omgs)
+
+
+def _rt_fwd(*args):
+    return _reduced_tail(*args), args
+
+
+def _rt_bwd(res, g):
+    lf, chiERraw, ne, Te, lam, Va, ud, A, Z, Ti, fract, weights, sarad, omgs = res
+
+    # ---- recompute the forward fields (no HBM residuals; fuses with the
+    # cotangent math below, and XLA CSEs the shared subexpressions)
+    omgL, k, omgdop, vTe, klde, xie = _kinematics_fields(sarad, omgs, ne, Te, lam, Va, ud)
+    ciR, ciI, xii, vTi, Zbar, kldi, omgpi, ni, Mi = _ion_fields(omgdop, k, ne, Z, Ti, fract, A)
+    from .zprime import dawsn
+
+    Dx = dawsn(xii)
+    exii2 = jnp.exp(-(xii**2))
+    ZpiR = -2.0 * (1.0 - 2.0 * xii * Dx)
+    ZpiI = -2.0 * jnp.sqrt(jnp.pi) * xii * exii2
+    ikldi2 = 1.0 / kldi**2
+    iklde2 = 1.0 / klde**2
+
+    fe_vphi = jnp.exp(lf)
+    dxie = jnp.diff(xie, 1, axis=1)
+    rinv = 1.0 / dxie
+    df_core = (fe_vphi[:, 1:, :] - fe_vphi[:, :-1, :]) * rinv  # [G,L-1,A]
+    zcol = jnp.zeros_like(df_core[:, :1, :])
+    df = jnp.concatenate([df_core, zcol], axis=1)
+    ceR = -iklde2 * chiERraw
+    ceI = -jnp.pi * iklde2 * df
+    lams = 2.0 * jnp.pi * C / omgs
+
+    # ---- broadcast the reduced cotangent back over (grad, angle)
+    num_grad = lf.shape[0]
+    gPs = (g[None, :, None] * weights) / num_grad  # [1,L,A], broadcasts to [G,L,A]
+
+    # ---- assembly backward (shared with _assemble_cvjp)
+    asm_res = (k, ceR, ceI, ciR, ciI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne, lams)
+    (
+        g_k_asm,
+        g_ceR,
+        g_ceI,
+        g_ciR,
+        g_ciI,
+        g_fe_asm,
+        g_vTe_asm,
+        g_xii_asm,
+        g_vTi_asm,
+        g_Z_asm,
+        g_fract_asm,
+        g_Zbar_asm,
+        g_omgdop_asm,
+        g_omgL_asm,
+        g_ne_asm,
+        _g_lams,
+    ) = _asm_bwd(asm_res, gPs)
+
+    # ---- electron chi chain: ceR = -chiERraw/klde^2, ceI = -pi df/klde^2
+    g_chiERraw = -g_ceR * iklde2
+    g_df = -jnp.pi * iklde2 * g_ceI
+    g_iklde2 = -g_ceR * chiERraw - jnp.pi * df * g_ceI
+    g_klde = -2.0 * g_iklde2 * iklde2 / klde
+
+    # ---- df spectral-difference chain (along the lambda axis)
+    g_df_core = g_df[:, :-1, :]  # df's appended last column is a constant 0
+    t = g_df_core * rinv
+    u = t * df_core
+    g_fv_df = jnp.concatenate([-t, zcol], axis=1) + jnp.concatenate([zcol, t], axis=1)
+    g_xie_df = jnp.concatenate([u, zcol], axis=1) - jnp.concatenate([zcol, u], axis=1)
+    g_lf = (g_fe_asm + g_fv_df) * fe_vphi
+
+    # ---- ion susceptibility chain: ci{R,I} = sum_s -0.5 Zp{R,I} / kldi^2
+    g_ciR_e = g_ciR[..., None]
+    g_ciI_e = g_ciI[..., None]
+    g_ZpR = -0.5 * ikldi2 * g_ciR_e
+    g_ZpI = -0.5 * ikldi2 * g_ciI_e
+    g_ikldi2 = -0.5 * (ZpiR * g_ciR_e + ZpiI * g_ciI_e)
+    g_kldi = -2.0 * g_ikldi2 * ikldi2 / kldi
+    # dZ'/dxi from the Dawson identity D' = 1 - 2 x D (see zprime.py)
+    dZpR = 4.0 * Dx + 4.0 * xii * (1.0 - 2.0 * xii * Dx)
+    dZpI = -2.0 * jnp.sqrt(jnp.pi) * exii2 * (1.0 - 2.0 * xii**2)
+    g_xii = g_xii_asm + g_ZpR * dZpR + g_ZpI * dZpI
+    # xii = (omgdop/k) / (sqrt(2) vTi)
+    ke = k[..., None]
+    g_omgdop_i = jnp.sum(g_xii / (jnp.sqrt(2.0) * vTi * ke), axis=3)
+    g_k_i = jnp.sum(-g_xii * xii / ke, axis=3)
+    g_vTi = g_vTi_asm + jnp.sum(-g_xii * xii / vTi, axis=(0, 1, 2), keepdims=True)
+    # kldi = vTi k / omgpi
+    g_k_i = g_k_i + jnp.sum(g_kldi * vTi / omgpi, axis=3)
+    g_vTi = g_vTi + jnp.sum(g_kldi * ke / omgpi, axis=(0, 1, 2), keepdims=True)
+    g_omgpi = jnp.sum(-g_kldi * kldi / omgpi, axis=(1, 2), keepdims=True)  # [G,1,1,S]
+    # omgpi = Cp Z sqrt(ni me/Mi): d/dni = omgpi/(2 ni), d/dZ = omgpi/Z
+    g_ni = g_omgpi * omgpi / (2.0 * ni)
+    g_Z_i = jnp.sum(g_omgpi * omgpi / Z, axis=0, keepdims=True)  # [1,1,1,S]
+    # ni = fract ne / Zbar
+    ne_e = ne[..., None, None, None]
+    g_fract_i = jnp.sum(g_ni * ne_e / Zbar, axis=0, keepdims=True)
+    g_ne_i = jnp.sum(g_ni * fract / Zbar, axis=(1, 2, 3))  # [G]
+    g_Zbar_i = jnp.sum(-g_ni * ni / Zbar)
+    # vTi = sqrt(Ti/Mi); Zbar = sum_s Z fract
+    g_Ti = g_vTi / (2.0 * vTi * Mi)
+    g_Zbar = g_Zbar_asm + jnp.reshape(g_Zbar_i, jnp.shape(g_Zbar_asm))
+    g_Z = g_Z_asm + g_Z_i + g_Zbar * fract
+    g_fract = g_fract_asm + g_fract_i + g_Zbar * Z
+
+    # ---- kinematics backward (shared with _kinematics_cvjp)
+    _, _, g_ne_kin, g_Te, g_lam, g_Va, g_ud = _kin_bwd(
+        (sarad, omgs, ne, Te, lam, Va, ud),
+        (g_omgL_asm, g_k_asm + g_k_i, g_omgdop_asm + g_omgdop_i, g_vTe_asm, g_klde, g_xie_df),
+    )
+    g_ne = g_ne_kin + g_ne_asm + g_ne_i
+
+    return (
+        g_lf,
+        g_chiERraw,
+        g_ne,
+        g_Te,
+        g_lam,
+        g_Va,
+        g_ud,
+        jnp.zeros_like(A),
+        g_Z,
+        g_Ti,
+        g_fract,
+        jnp.zeros_like(weights),
+        jnp.zeros_like(sarad),
+        jnp.zeros_like(omgs),
+    )
+
+
+_reduced_tail_cvjp.defvjp(_rt_fwd, _rt_bwd)
+
+
 class FormFactor:
     """Spectral density function calculator.
 
@@ -588,10 +795,12 @@ class FormFactor:
 
     # -------------------------------------------------------------------- 1V
 
-    def __call__(self, params):
-        """S(k, omega) for 1D EDFs.  Shapes: [G, L, A] (+[S] internally).
+    def _lookups_1v(self, params):
+        """Shared 1V front half: kinematics queries + the two table lookups.
 
-        Parity with the reference ``FormFactor.__call__`` (form_factor.py:163-298).
+        Returns every input of the spectrum tail: (lf, chiERraw, ne, Te, lam,
+        Va, ud, A, Z, Ti, fract).  Factored out of ``__call__`` so the fused
+        reduced path (``reduced_1v``) reuses it verbatim.
         """
         ne, Te = self._gradients(params)
         lam = params["general"]["lam"] + self.lam_shift
@@ -641,8 +850,33 @@ class FormFactor:
         else:
             chiERraw = interp1d_linear_uniform(xie, pv_poles, chiERratprim)
 
+        return lf, chiERraw, ne, Te, lam, Va, ud, A, Z, Ti, fract
+
+    def __call__(self, params):
+        """S(k, omega) for 1D EDFs.  Shapes: [G, L, A] (+[S] internally).
+
+        Parity with the reference ``FormFactor.__call__`` (form_factor.py:163-298).
+        """
+        inputs = self._lookups_1v(params)
         tail = jax.checkpoint(self._spectrum_tail) if _remat_tail_enabled() else self._spectrum_tail
-        return tail(lf, chiERraw, ne, Te, lam, Va, ud, A, Z, Ti, fract)
+        return tail(*inputs)
+
+    def reduced_1v(self, params, weights):
+        """Angle-weighted, gradient-averaged 1V spectrum via the fused tail.
+
+        Returns ``(reduced [L], lam_axis [1, L, 1] in cm)`` — the same values
+        as ``sum(mean(__call__(params)[0], 0) * weights, -1)`` (the
+        SpectrumModel reduction for non-angular spectypes), computed through
+        ONE custom-VJP boundary on TPU so only the two lookup outputs are
+        saved as residuals (see ``_reduced_tail_cvjp``).  Off-TPU and inside
+        hessian traces the plain-autodiff primal is used (same forward ops).
+        """
+        inputs = self._lookups_1v(params)
+        sarad = (self.scattering_angles["sa"] * jnp.pi / 180.0).reshape(1, 1, -1)
+        tail = _reduced_tail_cvjp if _use_kinematics_vjp() else _reduced_tail
+        reduced = tail(*inputs, weights, sarad, self.omgs)
+        lams = 2.0 * jnp.pi * C / self.omgs
+        return reduced, lams
 
     # -------------------------------------------------------------------- 2V
 

@@ -28,6 +28,15 @@ from .form_factor import FormFactor
 PROBE_NOTCH_HALF_WIDTH_NM = 3.0  # iawoff notch about the probe line
 FILTER_SUPPRESSION_OD = 9  # extra OD applied to the unreduced stack in detailed mode
 
+# Route non-angular 1V spectra through FormFactor.reduced_1v — the fused
+# spectrum tail whose single custom-VJP boundary keeps residuals to the two
+# table-lookup outputs (form_factor._reduced_tail_cvjp).  Same forward ops in
+# the same order as the composed path; flip off (or set TSADAR_FUSED_TAIL=0)
+# to fall back to the composed path for A/B debugging.
+import os as _os
+
+FUSED_REDUCED_TAIL = _os.environ.get("TSADAR_FUSED_TAIL", "1") != "0"
+
 
 class SpectrumModel:
     """FitModel-equivalent spectrum generator."""
@@ -111,10 +120,25 @@ class SpectrumModel:
         lam_axis_ele, ele_reduced = self.electron_spectrum(all_params)
         return ele_reduced, ion_reduced, lam_axis_ele, lam_axis_ion
 
+    def _use_fused_reduce(self):
+        """Non-angular 1V spectra reduce with a plain weighted angle sum, which
+        folds into the fused spectrum tail; ARTS needs the unreduced stack for
+        its weight-matrix matmul and 2V takes a different physics path."""
+        return (
+            FUSED_REDUCED_TAIL
+            and self.dim == 1
+            and self.config["other"]["extraoptions"]["spectype"] != "angular_full"
+        )
+
     def ion_spectrum(self, all_params):
         """IAW feature (reference generate_spectra.py:139-169)."""
         if not self.config["other"]["extraoptions"]["load_ion_spec"]:
             return jnp.zeros(1), jnp.zeros(1)
+        if self._use_fused_reduce():
+            reduced, lam_axis = self.ion_form_factor.reduced_1v(
+                all_params, self.scattering_angles["weights"][0]
+            )
+            return jnp.squeeze(lam_axis) * 1e7, reduced
         skw, lam_axis = self._raw(self.ion_form_factor, all_params)
         reduced = jnp.sum(jnp.mean(skw, axis=0) * self.scattering_angles["weights"][0], axis=1)
         return jnp.squeeze(lam_axis), reduced
@@ -123,9 +147,15 @@ class SpectrumModel:
         """EPW feature with angle weighting and notches (reference :171-220)."""
         if not self.config["other"]["extraoptions"]["load_ele_spec"]:
             return jnp.zeros(1), jnp.zeros(1)
-        skw, lam_axis_full = self._raw(self.electron_form_factor, all_params)
-        lam_axis = jnp.squeeze(lam_axis_full)
-        reduced = self._angle_reduce(jnp.mean(skw, axis=0))
+        if self._use_fused_reduce():
+            reduced, lam_axis_full = self.electron_form_factor.reduced_1v(
+                all_params, self.scattering_angles["weights"][0]
+            )
+            lam_axis = jnp.squeeze(lam_axis_full) * 1e7
+        else:
+            skw, lam_axis_full = self._raw(self.electron_form_factor, all_params)
+            lam_axis = jnp.squeeze(lam_axis_full)
+            reduced = self._angle_reduce(jnp.mean(skw, axis=0))
         reduced = self._probe_notch(reduced, lam_axis, all_params["general"]["lam"])
         band = self._filter_band()
         if band is not None:
