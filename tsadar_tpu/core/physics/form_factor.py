@@ -565,6 +565,157 @@ def _rt_bwd(res, g):
 _reduced_tail_cvjp.defvjp(_rt_fwd, _rt_bwd)
 
 
+# --------------------------------------------------------------------------
+# Pallas dispatch of the reduced tail (ops/spectrum_kernel.py): the same
+# math as _reduced_tail/_rt_bwd with every intermediate VMEM-resident.
+# Array semantics of _tail_kernel_op (per lineout; rows = (grad, angle),
+# G-major, wavelengths on lanes):
+#   lf, chi [GA, L]; rsc [GA, 8] = (ne, Te, cos sarad, w/G, 0...);
+#   scal [8] = (lam, Va, ud, 0...); spp [4, S] = (Z, Ti, fract, A);
+#   omgs [L]  ->  reduced [L].
+# custom_vmap routes vmapped calls to the kernel's explicit batch grid
+# (vmap-lifting an unbatched pallas_call is the known ~300x pathology).
+# --------------------------------------------------------------------------
+
+from jax import custom_batching as _custom_batching
+
+
+@_custom_batching.custom_vmap
+def _tail_kernel_fwd_core(lf, chi, rsc, scal, spp, omgs):
+    from ...ops.spectrum_kernel import spectrum_tail_pallas
+
+    return spectrum_tail_pallas(
+        lf[None], chi[None], rsc[None], scal[None], spp[None], omgs[None]
+    )[0]
+
+
+@_tail_kernel_fwd_core.def_vmap
+def _tail_kernel_fwd_vmap(axis_size, in_batched, *args):
+    from ...ops.spectrum_kernel import spectrum_tail_pallas
+
+    args = [
+        a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched)
+    ]
+    return spectrum_tail_pallas(*args), True
+
+
+@_custom_batching.custom_vmap
+def _tail_kernel_bwd_core(lf, chi, rsc, scal, spp, omgs, g):
+    from ...ops.spectrum_kernel import spectrum_tail_pallas_bwd
+
+    outs = spectrum_tail_pallas_bwd(
+        lf[None], chi[None], rsc[None], scal[None], spp[None], omgs[None], g[None]
+    )
+    return tuple(o[0] for o in outs)
+
+
+@_tail_kernel_bwd_core.def_vmap
+def _tail_kernel_bwd_vmap(axis_size, in_batched, *args):
+    from ...ops.spectrum_kernel import spectrum_tail_pallas_bwd
+
+    args = [
+        a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched)
+    ]
+    return spectrum_tail_pallas_bwd(*args), (True,) * 4
+
+
+@jax.custom_vjp
+def _tail_kernel_op(lf, chi, rsc, scal, spp, omgs):
+    return _tail_kernel_fwd_core(lf, chi, rsc, scal, spp, omgs)
+
+
+def _tail_kernel_vjp_fwd(lf, chi, rsc, scal, spp, omgs):
+    return _tail_kernel_fwd_core(lf, chi, rsc, scal, spp, omgs), (lf, chi, rsc, scal, spp, omgs)
+
+
+def _tail_kernel_vjp_bwd(res, g):
+    lf, chi, rsc, scal, spp, omgs = res
+    g_lf, g_chi, g_rsc, g_misc = _tail_kernel_bwd_core(lf, chi, rsc, scal, spp, omgs, g)
+    S = spp.shape[-1]
+    g_scal = jnp.concatenate([g_misc[:3], jnp.zeros(5, g_misc.dtype)])
+    g_spp = jnp.stack(
+        [
+            g_misc[8 : 8 + 3 * S : 3],
+            g_misc[9 : 9 + 3 * S : 3],
+            g_misc[10 : 10 + 3 * S : 3],
+            jnp.zeros(S, g_misc.dtype),
+        ]
+    )
+    return g_lf, g_chi, g_rsc, g_scal, g_spp, jnp.zeros_like(omgs)
+
+
+_tail_kernel_op.defvjp(_tail_kernel_vjp_fwd, _tail_kernel_vjp_bwd)
+
+
+# Pallas reduced-tail dispatch: MEASURED NEGATIVE, off by default.  Same-window
+# A/B on v5e at bench shapes (B=512, L=1024, GA=10): forward 10.57 vs 10.15 ms,
+# fit step 22.23 vs 21.87 ms — the kernel LOSES 2-4% to the jnp custom-VJP path
+# (`_reduced_tail_cvjp`).  Unlike the interp kernels (which replaced one-hot
+# matmuls whose [Q, 27] intermediates round-tripped HBM), this tail is pure
+# elementwise math that XLA already fuses into a handful of full-bandwidth loop
+# fusions; the Pallas version adds sublane padding (GA=10 -> 16 rows) and
+# per-lineout grid overhead with no traffic left to save.  At whole-shot shapes
+# (B=128, L=5120) the backward kernel's live set (forward recompute + all
+# cotangents, ~22 MB) exceeds Mosaic's 16 MB scoped-VMEM limit and fails to
+# compile.  Kept tested-unwired (tests/test_physics/test_spectrum_kernel.py
+# pins fwd + every cotangent in interpret mode) as the negative-result record.
+TAIL_PALLAS = False
+
+
+def _reduced_tail_pallas(lf, chiERraw, ne, Te, lam, Va, ud, A, Z, Ti, fract, weights, sarad, omgs):
+    """``_reduced_tail`` routed through the fused Pallas kernel.
+
+    Packs the [G, L, A] fields into the kernel's row layout ((g, a) pairs
+    G-major on sublanes, wavelengths on lanes) with plain jnp ops, so JAX's
+    own AD of the packing maps the kernel's row/slot cotangents back onto
+    the original arguments (e.g. the per-row ne cotangent sums over the
+    angle sub-axis through the broadcast transpose).  weights/sarad/omgs/A
+    get zero cotangents, matching ``_reduced_tail_cvjp``.
+    """
+    G, L, nA = lf.shape
+    dt = lf.dtype
+    lf2 = jnp.transpose(lf, (0, 2, 1)).reshape(G * nA, L)
+    chi2 = jnp.transpose(chiERraw, (0, 2, 1)).reshape(G * nA, L)
+    cols = [
+        jnp.broadcast_to(ne[:, None], (G, nA)),
+        jnp.broadcast_to(Te[:, None], (G, nA)),
+        jnp.broadcast_to(jnp.cos(sarad).reshape(1, nA), (G, nA)),
+        # weights may be scalar (the reference's `weights[0]` on a 1-D array
+        # indexes one weight), [A], or [1, A] — the wrow slot encodes all three
+        jnp.broadcast_to(jnp.asarray(weights).reshape(-1)[None, :].astype(dt) / G, (G, nA))
+        if jnp.size(weights) == nA
+        else jnp.broadcast_to(jnp.reshape(weights, ()).astype(dt) / G, (G, nA)),
+    ] + [jnp.zeros((G, nA), dt)] * 4
+    rsc = jnp.stack(cols, axis=-1).reshape(G * nA, 8)
+    scal = jnp.concatenate(
+        [jnp.stack([jnp.reshape(x, ()) for x in (lam, Va, ud)]).astype(dt), jnp.zeros(5, dt)]
+    )
+    spp = jnp.stack(
+        [jnp.reshape(x, (-1,)).astype(dt) for x in (Z, Ti, fract, A)]
+    )
+    return _tail_kernel_op(lf2, chi2, rsc, scal, spp, omgs.reshape(L).astype(dt))
+
+
+def _use_tail_kernel(lf, weights, omgs):
+    """Gate for the Pallas reduced-tail: TPU f32, Pallas enabled (hessian /
+    sigma traces disable it — pallas_call has no JVP rule), lane-aligned L,
+    and a weight shape the kernel's wrow slot encodes (scalar — the
+    reference's ``weights[0]`` on a 1-D array indexes ONE weight — or a
+    per-angle vector)."""
+    G, L, nA = lf.shape
+    return (
+        TAIL_PALLAS
+        and jax.default_backend() == "tpu"
+        and pallas_enabled()
+        and lf.dtype == jnp.float32
+        and L % 128 == 0
+        and jnp.size(weights) in (1, nA)
+        and omgs.size == L
+    )
+
+
 class FormFactor:
     """Spectral density function calculator.
 
@@ -873,7 +1024,14 @@ class FormFactor:
         """
         inputs = self._lookups_1v(params)
         sarad = (self.scattering_angles["sa"] * jnp.pi / 180.0).reshape(1, 1, -1)
-        tail = _reduced_tail_cvjp if _use_kinematics_vjp() else _reduced_tail
+        if _use_kinematics_vjp():
+            tail = (
+                _reduced_tail_pallas
+                if _use_tail_kernel(inputs[0], weights, self.omgs)
+                else _reduced_tail_cvjp
+            )
+        else:
+            tail = _reduced_tail
         reduced = tail(*inputs, weights, sarad, self.omgs)
         lams = 2.0 * jnp.pi * C / self.omgs
         return reduced, lams
