@@ -165,6 +165,59 @@ def test_sharded_train_step_is_actually_partitioned():
     assert np.isfinite(float(value))
 
 
+def test_one_d_loop_data_parallel_matches_single():
+    """The PRODUCTION fit loop goes data-parallel automatically on a multi-
+    device backend (`optimizer.parallel`, default on) and must produce the
+    same fit as the single-device path — the dryrun/test-only sharded step
+    above is now the actual `one_d_loop` code path."""
+    from __graft_entry__ import _make_batch, _small_config
+    from tsadar_tpu.inverse.loops import _fit_mesh, one_d_loop
+
+    assert jax.device_count() >= 8
+    batch_size = 8
+    all_data = _make_batch(batch_size)
+    all_data = {
+        "e_data": all_data["e_data"],
+        "e_amps": all_data["e_amps"],
+        "i_data": all_data["i_data"],
+        "i_amps": all_data["i_amps"],
+        "noiseE": all_data["noise_e"],
+        "noiseI": all_data["noise_i"],
+    }
+    from tsadar_tpu.utils.data_handling.calibration import get_scattering_angles
+
+    losses = {}
+    for parallel in (True, False):
+        cfg = _small_config(batch_size)
+        cfg["optimizer"]["num_epochs"] = 2
+        cfg["optimizer"]["chunk_size"] = 2
+        cfg["optimizer"]["parallel"] = parallel
+        assert (_fit_mesh(cfg) is not None) == parallel
+        sas = get_scattering_angles(cfg)
+        weights, loss, _ = one_d_loop(cfg, all_data, sas, np.arange(batch_size), 1)
+        losses[parallel] = loss
+        assert np.isfinite(loss)
+
+    assert_allclose(losses[True], losses[False], rtol=1e-10)
+
+
+def test_fit_mesh_trims_to_batch_divisor():
+    """batch sizes not divisible by the device count get the largest dividing
+    mesh (GSPMD would otherwise pad the batch axis)."""
+    from __graft_entry__ import _small_config
+    from tsadar_tpu.inverse.loops import _fit_mesh
+
+    cfg = _small_config(6)  # 8 devices, batch 6 -> mesh of 6
+    assert _fit_mesh(cfg).devices.size == 6
+    cfg = _small_config(7)  # 7 is prime < 8 -> mesh of 7
+    assert _fit_mesh(cfg).devices.size == 7
+    cfg = _small_config(1)  # degenerate -> no mesh
+    assert _fit_mesh(cfg) is None
+    cfg = _small_config(8)
+    cfg["optimizer"]["parallel"] = False
+    assert _fit_mesh(cfg) is None
+
+
 def test_shard_2v_points_config_plumbing():
     """`other.shard_2v_points: true` must reach the FormFactor through
     LossFunction (the CLI/fitter path) — the flag is how a multi-chip ARTS

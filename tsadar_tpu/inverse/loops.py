@@ -26,8 +26,44 @@ import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from ..core.params import ThomsonParams, get_filter_spec, partition, combine
+from ..parallel import make_mesh, shard_batch, shard_params_batch_axis
 from ..utils import mlflow_shim as mlflow
 from .loss import LossFunction
+
+
+def _fit_mesh(config):
+    """Data-parallel mesh over the lineout-batch axis, or ``None``.
+
+    The reference's multi-device story shards only the 2V chi points
+    (``/root/reference/tsadar/core/physics/form_factor.py:431-447``); here the
+    primary scale axis for 1D spectypes is the lineout batch.  When more than
+    one accelerator is visible, every per-lineout array (data batch and
+    batched parameter leaves) is given a ``NamedSharding`` over a 1D mesh and
+    the jitted loss/step partitions via GSPMD — the only collective is the
+    scalar-loss psum, riding ICI.  ``optimizer.parallel: false`` opts out;
+    the mesh is trimmed to the largest device count dividing the batch size
+    (GSPMD would otherwise pad the batch axis).
+    """
+    if not config["optimizer"].get("parallel", True):
+        return None
+    n = jax.device_count()
+    bs = config["optimizer"]["batch_size"]
+    n = min(n, bs)
+    while bs % n:
+        n -= 1
+    return make_mesh(n) if n > 1 else None
+
+
+def _shard_fit_state(mesh, config, batch, diff_params, static_params):
+    """Place the batch + per-lineout parameter leaves over the fit mesh."""
+    if mesh is None:
+        return batch, diff_params, static_params
+    bs = config["optimizer"]["batch_size"]
+    return (
+        shard_batch(batch, mesh),
+        shard_params_batch_axis(diff_params, mesh, bs),
+        shard_params_batch_axis(static_params, mesh, bs),
+    )
 
 
 def _init_params(config, previous_weights, batch_size=None, batch=True):
@@ -83,7 +119,7 @@ def _1d_scipy_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch
     return res["fun"], best_weights
 
 
-def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch: Dict, tbatch=None):
+def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch: Dict, tbatch=None, mesh=None):
     """optax adam epochs (reference loops.py:59-95).
 
     TPU-first structure: the epochs run as jitted ``lax.scan`` chunks of
@@ -100,6 +136,7 @@ def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch:
     opt = optax.adam(config["optimizer"]["learning_rate"])
     ts_params = _init_params(config, previous_weights)
     diff_params, static_params = partition(ts_params, get_filter_spec(config["parameters"], ts_params))
+    batch, diff_params, static_params = _shard_fit_state(mesh, config, batch, diff_params, static_params)
     opt_state = opt.init(diff_params)
 
     num_epochs = config["optimizer"]["num_epochs"]
@@ -151,7 +188,7 @@ def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch:
     return float(best_loss), combine(best_dp, static_params)
 
 
-def _1d_device_lbfgs_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch: Dict):
+def _1d_device_lbfgs_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch: Dict, mesh=None):
     """Device-resident L-BFGS: jitted steps, no per-iteration scipy round trip.
 
     Replaces the scipy L-BFGS-B host loop (SURVEY.md §7 hard parts) with
@@ -164,6 +201,7 @@ def _1d_device_lbfgs_loop_(config: Dict, loss_fn: LossFunction, previous_weights
     """
     ts_params = _init_params(config, previous_weights)
     diff_params, static_params = partition(ts_params, get_filter_spec(config["parameters"], ts_params))
+    batch, diff_params, static_params = _shard_fit_state(mesh, config, batch, diff_params, static_params)
 
     def value_fn(dp):
         return loss_fn.__loss__(dp, static_params, batch)[0]
@@ -194,6 +232,9 @@ def one_d_loop(
 ) -> Tuple[List, float, LossFunction]:
     """Batched-lineout fitting loop (reference loops.py:98-164)."""
     loss_fn = LossFunction(config, sa, _slice_batch(all_data, slice(0, config["optimizer"]["batch_size"])))
+    mesh = _fit_mesh(config)
+    if mesh is not None:
+        print(f"lineout batch data-parallel over {mesh.devices.size} devices")
 
     batch_indices = np.reshape(batch_indices, (-1, config["optimizer"]["batch_size"]))
     all_weights, overall_loss, previous_weights = [], 0.0, None
@@ -202,10 +243,14 @@ def one_d_loop(
 
         method = config["optimizer"]["method"]
         if method == "adam":
-            best_loss, best_weights = _1d_adam_loop_(config, loss_fn, previous_weights, batch)
+            best_loss, best_weights = _1d_adam_loop_(config, loss_fn, previous_weights, batch, mesh=mesh)
         elif method == "lbfgs":
-            best_loss, best_weights = _1d_device_lbfgs_loop_(config, loss_fn, previous_weights, batch)
+            best_loss, best_weights = _1d_device_lbfgs_loop_(config, loss_fn, previous_weights, batch, mesh=mesh)
         else:
+            # host scipy path: params ravel to numpy every iteration, but the
+            # closed-over data batch still shards across the mesh
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
             loss_fn = LossFunction(config, sa, batch)
             best_loss, best_weights = _1d_scipy_loop_(config, loss_fn, previous_weights, batch)
 

@@ -229,6 +229,7 @@ def _check_optimizer(cfg, required):
     _check_num(cfg, ("optimizer", "learning_rate"), positive=True)
     _check_bool(cfg, ("optimizer", "x_norm"))
     _check_bool(cfg, ("optimizer", "y_norm"))
+    _check_bool(cfg, ("optimizer", "parallel"))
 
 
 def validate_config(cfg, mode=None):
