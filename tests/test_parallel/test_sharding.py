@@ -208,14 +208,55 @@ def test_fit_mesh_trims_to_batch_divisor():
     from tsadar_tpu.inverse.loops import _fit_mesh
 
     cfg = _small_config(6)  # 8 devices, batch 6 -> mesh of 6
+    cfg["optimizer"]["parallel"] = True
     assert _fit_mesh(cfg).devices.size == 6
     cfg = _small_config(7)  # 7 is prime < 8 -> mesh of 7
+    cfg["optimizer"]["parallel"] = True
     assert _fit_mesh(cfg).devices.size == 7
     cfg = _small_config(1)  # degenerate -> no mesh
+    cfg["optimizer"]["parallel"] = True
     assert _fit_mesh(cfg) is None
     cfg = _small_config(8)
     cfg["optimizer"]["parallel"] = False
     assert _fit_mesh(cfg) is None
+    # unset on CPU -> off (virtual CPU devices are same-core threads)
+    cfg = _small_config(8)
+    assert _fit_mesh(cfg) is None
+
+
+def test_param_sharding_mask_protects_grid_leaves():
+    """With nvx == batch_size the velocity grid's leading dim coincides with
+    the batch size; the exact batched-leaf mask must still replicate it (the
+    leading-dim heuristic would shard it along the VELOCITY axis and buy
+    per-step all-gathers)."""
+    import jax.tree_util as jtu
+
+    from __graft_entry__ import _make_batch, _small_config
+    from tsadar_tpu.core.params import ThomsonParams, get_filter_spec, partition
+    from tsadar_tpu.inverse.loops import _fit_mesh, _shard_fit_state
+
+    batch_size = 8
+    cfg = _small_config(batch_size)
+    cfg["parameters"]["electron"]["fe"]["nvx"] = batch_size  # the collision
+    cfg["optimizer"]["parallel"] = True
+    ts_params = ThomsonParams.create(cfg["parameters"], num_params=batch_size, batch=True, activate=True)
+    diff, static = partition(ts_params, get_filter_spec(cfg["parameters"], ts_params))
+
+    mesh = _fit_mesh(cfg)
+    assert mesh is not None
+    _, diff_sh, static_sh = _shard_fit_state(mesh, cfg, _make_batch(batch_size), diff, static)
+
+    placed = {
+        jtu.keystr(path): leaf
+        for path, leaf in jtu.tree_leaves_with_path(static_sh)
+        if hasattr(leaf, "sharding")
+    }
+    vx = next(v for k, v in placed.items() if k.endswith(".vx"))
+    assert vx.shape == (batch_size,)  # the coincidence is actually present
+    assert vx.sharding.is_fully_replicated
+    # while genuinely per-lineout leaves are sharded one row per device
+    ti = next(v for k, v in placed.items() if "Ti" in k)
+    assert ti.sharding.shard_shape(ti.shape)[0] == 1
 
 
 def test_shard_2v_points_config_plumbing():

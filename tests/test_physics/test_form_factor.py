@@ -211,7 +211,8 @@ def test_nudft_projection_matches_rotation():
     )
     betas = jnp.linspace(0, 2 * jnp.pi, 32, endpoint=False)
     p_rot = jnp.stack([ff._project(vx, DF, b) for b in betas])
-    p_nudft = ff._project_all_nudft(vx, DF, betas)
+    # the NUDFT path's angle grid is baked to this canonical linspace
+    p_nudft = ff._project_all_nudft(vx, DF)
     p_bilin = ff._project_all_fourier(vx, DF, betas)
     err_nudft = float(jnp.max(jnp.abs(p_nudft - p_rot)))
     err_bilin = float(jnp.max(jnp.abs(p_bilin - p_rot)))
@@ -220,7 +221,7 @@ def test_nudft_projection_matches_rotation():
     assert err_nudft <= err_bilin + 1e-12
 
     # differentiable, and the EDF cotangent is finite
-    g = jax.grad(lambda d: jnp.sum(ff._project_all_nudft(vx, d, betas) ** 2))(DF)
+    g = jax.grad(lambda d: jnp.sum(ff._project_all_nudft(vx, d) ** 2))(DF)
     assert bool(jnp.all(jnp.isfinite(g)))
 
 

@@ -44,6 +44,30 @@ def test_tooth_chain_filter_rejects_non_pip_peaks(frame):
     assert np.all(spacing < 1.4 * EPW5_PIP_PX)
 
 
+def test_tooth_chain_survives_mid_comb_spur(frame):
+    """A bright non-pip feature BETWEEN two teeth must not split the chain:
+    the longest-path filter bypasses the spur, keeping the full comb (an
+    adjacent-run scan would discard half of it and leave the late sweep to
+    extrapolation)."""
+    teeth_clean = _comb_tooth_centers(frame)
+    mid = 0.5 * (teeth_clean[3] + teeth_clean[4])
+    spoiled = frame.astype(float).copy()
+    # a comb-like spur: same row band, bright and wide enough to be detected
+    cols = np.arange(spoiled.shape[1])
+    spoiled[0:100, :] += 4000.0 * np.exp(-0.5 * ((cols - mid) / 6.0) ** 2)[None, :]
+    teeth_spur = _comb_tooth_centers(spoiled)
+    # the spur itself must be detectable, else the test is vacuous
+    comb = spoiled[0:100, :].sum(axis=0)
+    from scipy.signal import find_peaks
+
+    _, props = find_peaks(comb, prominence=1000, width=10)
+    raw = 0.5 * (props["left_ips"] + props["right_ips"])
+    assert np.min(np.abs(raw - mid)) < 3.0
+    # full comb retained, spur excluded
+    assert len(teeth_spur) == len(teeth_clean)
+    np.testing.assert_allclose(teeth_spur, teeth_clean, atol=1.0)
+
+
 def test_reconstruction_pins_tracers(frame):
     # 507.5 = the shot-101675 calibration row of the 528 nm notch center (the
     # loader computes this per shot via _notch_target_row)
@@ -128,6 +152,13 @@ def test_background_frame_reuses_signal_maps(frame):
     # different calibration range (e.g. shot 111411's anchor): no reuse
     out_other = perform_warp_correction(bg, fiducial_fallback=True, notch_target_row=512.2)
     np.testing.assert_array_equal(out_other, bg)
+
+    # cache is per-prepare: after the reset that opens the NEXT shot's
+    # prepare_data, a tracerless frame must get identity even with a matching
+    # anchor — shot A's sweep correction must never leak onto shot B
+    wc.reset_fiducial_cache()
+    out_next = perform_warp_correction(bg, fiducial_fallback=True, notch_target_row=507.5)
+    np.testing.assert_array_equal(out_next, bg)
 
 
 def test_fiducial_t0_anchors_on_first_chain_tooth(frame):

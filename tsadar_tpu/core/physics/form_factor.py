@@ -379,9 +379,11 @@ _assemble_cvjp.defvjp(_asm_fwd, _asm_bwd)
 
 
 def _ion_fields(omgdop, k_mag, ne, Z, Ti, fract, A):
-    """Real/imag-split ion susceptibility fields (module-level twin of
-    ``FormFactor._ion_susceptibility`` for the fused reduced-tail path;
-    identical expressions so the forward stays bitwise-equal)."""
+    """Real/imag-split ion susceptibility fields (reference form_factor.py:231-249).
+
+    The SINGLE implementation: ``FormFactor._ion_susceptibility`` wraps this
+    as ``ciR + 1j*ciI`` and the fused reduced-tail path consumes the split
+    parts directly, so the two paths stay bitwise-equal by construction."""
     Mi = A * MP_KEV
     Zbar = jnp.sum(Z * fract)
     ni = fract * ne[..., None, None, None] / Zbar  # [G,1,1,S]
@@ -838,19 +840,13 @@ class FormFactor:
         return rs(A), rs(Z), rs(Ti), rs(fract)
 
     def _ion_susceptibility(self, omgdop, k_mag, ne, Z, Ti, fract, A):
-        """chi_i summed over species + xii, kldi diagnostics (form_factor.py:231-249)."""
-        Mi = A * MP_KEV
-        Zbar = jnp.sum(Z * fract)
-        ni = fract * ne[..., None, None, None] / Zbar  # [G,1,1,S]
-        omgpi = PLASMA_FREQ_CONST * Z * jnp.sqrt(ni * ME_KEV / Mi)
-        vTi = jnp.sqrt(Ti / Mi)  # [1,1,1,S]
-        kldi = (vTi / omgpi) * k_mag[..., None]  # [G,L,A,S]
+        """chi_i summed over species + xii, kldi diagnostics (form_factor.py:231-249).
 
-        xii = (omgdop / k_mag)[..., None] / (jnp.sqrt(2.0) * vTi)
-        ZpiR, ZpiI = zprime(xii)
-        chiI_per = -0.5 / (kldi**2) * (ZpiR + 1j * ZpiI)
-        chiI = jnp.sum(chiI_per, axis=3)  # [G,L,A]
-        return chiI, xii, kldi, vTi, Zbar
+        Thin complex wrapper over the real/imag-split ``_ion_fields`` — ONE
+        set of expressions, so this path and the fused reduced-tail path
+        (which needs the split parts) cannot drift apart numerically."""
+        ciR, ciI, xii, vTi, Zbar, kldi = _ion_fields(omgdop, k_mag, ne, Z, Ti, fract, A)[:6]
+        return ciR + 1j * ciI, xii, kldi, vTi, Zbar
 
     def _kinematics(self, ne, Te, lam, Va, ud):
         """Scattering kinematics: k, Doppler omega, phase velocities [G, L, A].
@@ -972,9 +968,10 @@ class FormFactor:
         log_fe = jnp.log(jnp.maximum(fe, tiny))
         if jax.default_backend() == "tpu" and vx.shape[0] > _CUBIC_BLOCKED_MIN_NVX:
             # blocked cubic: same Hermite stencil without materializing the
-            # [Q, nvx] weight matrix (prohibitive at whole-shot shapes for
-            # large velocity grids); for nvx <= 128 the weight-matrix form
-            # below is ~2x faster on v5e (bf16-split Hermite weights, MXU)
+            # [Q, nvx] weight matrix.  With the fused Pallas kernels this
+            # path wins at EVERY production grid (bench fwd 42.5k -> 48.5k
+            # spectra/s at nvx=64); the weight-matrix form below only won
+            # pre-Pallas, and survives as the small-grid/CPU fallback.
             lf = interp1d_cubic_blocked(xie, vx, log_fe)
             lf = jnp.where((xie < vx[0]) | (xie > vx[-1]), -50.0, lf)
         else:
@@ -1117,8 +1114,15 @@ class FormFactor:
         p = jnp.fft.ifft(S * phase, axis=-1).real * dv  # [B, P]
         return p[:, :n]
 
-    def _project_all_nudft(self, vx, DF, betas):
+    def _project_all_nudft(self, vx, DF):
         """All 1D projections via an EXACT non-uniform DFT of the central slice.
+
+        The angle grid is FIXED to the canonical ``linspace(0, 2pi, num_beta,
+        endpoint=False)`` of ``_chi_tables`` — it is baked into the
+        host-precomputed trig tables, which is why this takes no ``betas``
+        argument (a betas parameter here would be silently ignored).  Callers
+        needing a different grid must use ``_project_all_fourier`` /
+        ``_project``.
 
         Same Fourier-slice math as ``_project_all_fourier`` but the slice
         spectrum S[b, k] = sum_{y,x} DF[y,x] e^{-2pi i r_k (sin(b)(y-c) +
@@ -1135,7 +1139,7 @@ class FormFactor:
         c = (n - 1) / 2.0
 
         r = jnp.fft.fftfreq(P) * P  # [K] signed frequency indices, K = P
-        B = betas.shape[0]
+        B = self.num_beta
         # The trig tables depend only on the STATIC angle grid and grid sizes
         # (betas is the internal [0, 2pi) linspace; vx enters only through dv
         # below), so they are host-precomputed f64 numpy constants — no
@@ -1189,7 +1193,7 @@ class FormFactor:
             if jax.default_backend() == "tpu":
                 # exact NUDFT slice evaluation: no k-space gather (its backward
                 # is a TPU scatter costing ~50 ms/iteration), no interp error
-                f1d = self._project_all_nudft(vx, DF, betas)
+                f1d = self._project_all_nudft(vx, DF)
             else:
                 f1d = self._project_all_fourier(vx, DF, betas)
             df1d = jnp.gradient(f1d, dvx, axis=-1)

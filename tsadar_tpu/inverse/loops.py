@@ -43,8 +43,17 @@ def _fit_mesh(config):
     scalar-loss psum, riding ICI.  ``optimizer.parallel: false`` opts out;
     the mesh is trimmed to the largest device count dividing the batch size
     (GSPMD would otherwise pad the batch axis).
+
+    Default is on for accelerator backends only.  On CPU the "devices" are
+    same-core threads (tests use a virtual 8-device mesh): sharding there
+    buys nothing, and on a low-core host long per-shard compute can hit
+    XLA's 40 s in-process collective rendezvous abort (CLAUDE.md) — so CPU
+    requires an explicit ``optimizer.parallel: true``.
     """
-    if not config["optimizer"].get("parallel", True):
+    parallel = config["optimizer"].get("parallel", None)
+    if parallel is None:
+        parallel = jax.default_backend() != "cpu"
+    if not parallel:
         return None
     n = jax.device_count()
     bs = config["optimizer"]["batch_size"]
@@ -54,15 +63,37 @@ def _fit_mesh(config):
     return make_mesh(n) if n > 1 else None
 
 
+def _batched_leaf_mask(config, diff_params, static_params):
+    """Boolean pytrees marking exactly the per-lineout leaves.
+
+    Built from the parameter system itself: a reference instance with
+    ``num_params=1`` has every batched leaf at leading dim 1 while grids and
+    tables (``vx``, ``m_ax``, ``f_vx_m``, ...) keep their shape — so
+    "shape differs from the num_params=1 instance" identifies batched leaves
+    without the leading-dim coincidence the heuristic is exposed to (e.g.
+    ``nvx == batch_size`` must not shard the velocity grid)."""
+    ref = ThomsonParams.create(config["parameters"], 1, batch=True, activate=True)
+    ref_diff, ref_static = partition(ref, get_filter_spec(config["parameters"], ref))
+
+    def differs(x, r):
+        return hasattr(x, "shape") and x.shape != getattr(r, "shape", None)
+
+    return (
+        jax.tree.map(differs, diff_params, ref_diff),
+        jax.tree.map(differs, static_params, ref_static),
+    )
+
+
 def _shard_fit_state(mesh, config, batch, diff_params, static_params):
     """Place the batch + per-lineout parameter leaves over the fit mesh."""
     if mesh is None:
         return batch, diff_params, static_params
     bs = config["optimizer"]["batch_size"]
+    mask_diff, mask_static = _batched_leaf_mask(config, diff_params, static_params)
     return (
         shard_batch(batch, mesh),
-        shard_params_batch_axis(diff_params, mesh, bs),
-        shard_params_batch_axis(static_params, mesh, bs),
+        shard_params_batch_axis(diff_params, mesh, bs, batched_mask=mask_diff),
+        shard_params_batch_axis(static_params, mesh, bs, batched_mask=mask_static),
     )
 
 
@@ -343,6 +374,7 @@ def angular_optax(config, all_data, sa):
             diff_params, opt_state, best_loss_dev, best_dp, length
         )
         losses = np.asarray(losses)  # the chunk's one host sync
+        n_counted = length  # epochs the reference's per-epoch loop would reach
         for j in range(length):
             epoch_loss = float(losses[j])
             mlflow.log_metrics({"epoch loss": epoch_loss}, step=i_epoch + j)
@@ -354,6 +386,7 @@ def angular_optax(config, all_data, sa):
                     if stalled_epochs > 5:
                         print("Minimizer exited due to change in loss < 1e-6")
                         stop = True
+                        n_counted = j + 1
                         break
                 else:
                     stalled_epochs = rising_epochs = 0
@@ -362,11 +395,16 @@ def angular_optax(config, all_data, sa):
                 if rising_epochs > 5:
                     print("Minimizer exited due to increase in loss")
                     stop = True
+                    n_counted = j + 1
                     break
 
+        # snapshots/checkpoints stop at the early-stop epoch: epochs the chunk
+        # ran past the stop were never reached in the reference's per-epoch
+        # semantics, and a checkpoint labeled beyond the stop would let a
+        # resume continue a fit that had already terminated
         if config["optimizer"].get("save_state", False):
             freq = config["optimizer"]["save_state_freq"]
-            hits = [e for e in range(i_epoch, i_epoch + length) if e % freq == 0]
+            hits = [e for e in range(i_epoch, i_epoch + n_counted) if e % freq == 0]
             if hits:
                 snap = jax.tree.map(
                     np.asarray, combine(best_dp, static_params).get_unnormed_params()
@@ -375,10 +413,14 @@ def angular_optax(config, all_data, sa):
                     state_weights[e] = snap
 
         ckpt_freq = config["optimizer"].get("checkpoint_freq", 50)
-        if ckpt_dir and any(e % ckpt_freq == 0 for e in range(i_epoch, i_epoch + length)):
+        if (
+            ckpt_dir
+            and not stop
+            and any(e % ckpt_freq == 0 for e in range(i_epoch, i_epoch + n_counted))
+        ):
             from ..utils.checkpoint import save_checkpoint
 
-            save_checkpoint(ckpt_dir, diff_params, opt_state, i_epoch + length - 1)
+            save_checkpoint(ckpt_dir, diff_params, opt_state, i_epoch + n_counted - 1)
 
         i_epoch += length
 

@@ -34,11 +34,24 @@ def replicate(tree, mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def shard_params_batch_axis(ts_params, mesh, batch_size, axis_name="batch"):
-    """Shard per-lineout parameter leaves (leading dim == batch_size) over the mesh;
-    replicate everything else (velocity grids, tables)."""
+def shard_params_batch_axis(ts_params, mesh, batch_size, axis_name="batch", batched_mask=None):
+    """Shard per-lineout parameter leaves over the mesh; replicate everything
+    else (velocity grids, tables).
+
+    ``batched_mask`` (a matching pytree of booleans) decides exactly which
+    leaves are per-lineout; the fit loop builds it from the parameter system
+    itself (``loops._batched_leaf_mask``).  Without a mask, falls back to the
+    leading-dim heuristic — fine unless a replicated leaf's leading dim
+    coincidentally equals the batch size (e.g. ``nvx == batch_size`` would
+    shard the velocity grid along its velocity axis: still correct under
+    GSPMD, but inserts per-step all-gathers of the grid)."""
     batched = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
+
+    if batched_mask is not None:
+        return jax.tree.map(
+            lambda x, m: jax.device_put(x, batched if m else repl), ts_params, batched_mask
+        )
 
     def place(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == batch_size:

@@ -157,6 +157,11 @@ def _reduce_arts_image(config, elecData, BGele, axisxE, axisyE, sa, all_axes):
 
 def prepare_data(config: Dict, shotNum: int):
     """Returns (all_data, sa, all_axes); mutates config with derived quantities."""
+    from .warpcorr import reset_fiducial_cache
+
+    # fiducial-map reuse (signal frame -> tracerless background frame) is
+    # scoped to THIS shot's loads; see warpcorr._FIDUCIAL_MAPS_CACHE
+    reset_fiducial_cache()
     opts = config["other"]["extraoptions"]
     elecData, ionData, xlab, t0, opts["spectype"] = loadData(
         config["data"]["shotnum"], config["data"]["shotDay"], opts,

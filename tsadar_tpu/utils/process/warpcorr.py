@@ -89,11 +89,18 @@ def _forward_splat(val, typix, txpix):
 def _comb_tooth_centers(img, comb_rows=EPW5_COMB_ROWS, pip_px=EPW5_PIP_PX):
     """Subpixel timing-comb tooth centers (half-height midpoints), or None.
 
-    Detected peaks are filtered to the longest chain of CONSECUTIVE pips
-    (spacing within 40% of the nominal pip interval) — the comb band can
-    contain bright non-comb features (signal bleed, pre-pulse marks) whose
-    spacing to the real teeth is not one pip, and anchoring the time map on
-    one of those would shift the whole sweep.
+    Detected peaks are filtered to the longest chain of pips spaced within
+    40% of the nominal pip interval — the comb band can contain bright
+    non-comb features (signal bleed, pre-pulse marks) whose spacing to the
+    real teeth is not one pip, and anchoring the time map on one of those
+    would shift the whole sweep.  The chain is the longest PATH over all
+    in-window peak pairs (O(n^2) DP, n ~ 10-20), not the longest run of
+    adjacent detections: a spur landing BETWEEN two teeth splits every
+    adjacent-pair scan in half (each side of the spur is ~0.5 pip away),
+    silently discarding half the comb and leaving the late sweep — exactly
+    where the speed correction matters — to edge-slope extrapolation.  The
+    DP simply bypasses the spur: the tooth-to-tooth edge across it is still
+    ~1 pip.
     """
     from scipy.signal import find_peaks
 
@@ -102,13 +109,21 @@ def _comb_tooth_centers(img, comb_rows=EPW5_COMB_ROWS, pip_px=EPW5_PIP_PX):
     centers = 0.5 * (props["left_ips"] + props["right_ips"])
     if len(centers) < 3:
         return None
-    best, run = [], [centers[0]]
-    for prev, cur in zip(centers[:-1], centers[1:]):
-        if 0.6 * pip_px <= cur - prev <= 1.4 * pip_px:
-            run.append(cur)
-        else:
-            best, run = (run, [cur]) if len(run) > len(best) else (best, [cur])
-    best = run if len(run) > len(best) else best
+    n = len(centers)
+    chain_len = np.ones(n, dtype=int)
+    prev_idx = np.full(n, -1)
+    for j in range(n):
+        for i in range(j):
+            d = centers[j] - centers[i]
+            if 0.6 * pip_px <= d <= 1.4 * pip_px and chain_len[i] + 1 > chain_len[j]:
+                chain_len[j] = chain_len[i] + 1
+                prev_idx[j] = i
+    end = int(np.argmax(chain_len))
+    best = []
+    while end >= 0:
+        best.append(centers[end])
+        end = prev_idx[end]
+    best.reverse()
     return np.asarray(best) if len(best) >= 3 else None
 
 
@@ -214,7 +229,19 @@ def reconstruct_warp_from_fiducials(
 # shot sits in the same calibration range as its signal (same target row),
 # while an unrelated later shot from a different range does not — it must get
 # the identity fallback, not another shot's registration.
+#
+# The cache is SCOPED TO ONE prepare_data() invocation: prepare calls
+# ``reset_fiducial_cache()`` before loading, so a long-lived process fitting
+# several shots can never silently apply shot A's per-shot sweep correction
+# to an unrelated shot B whose tracers fail detection (the anchor check alone
+# cannot distinguish B from A's background when both share a calibration
+# range).
 _FIDUCIAL_MAPS_CACHE = {}
+
+
+def reset_fiducial_cache():
+    """Drop cached fiducial maps (call at the start of each shot's prepare)."""
+    _FIDUCIAL_MAPS_CACHE.clear()
 
 
 def _anchors_match(a, b):
