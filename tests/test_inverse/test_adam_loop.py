@@ -66,3 +66,55 @@ def test_adam_loop_chunking_matches_per_step():
     a = w_chunked.get_unnormed_params()["electron"]["Te"]
     b = w_single.get_unnormed_params()["electron"]["Te"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+def test_adam_loop_per_lineout_best_tracking():
+    """`track_best: per_lineout` matches a manual replay that keeps, per
+    lineout, the post-update params of that row's lowest pre-update loss
+    epoch.
+
+    The large learning rate makes one row overshoot its optimum an epoch
+    before the others, so the selection genuinely engages (asserted).  It
+    also makes adam mildly chaotic: the loop's scanned-chunk trajectory and
+    the Python replay diverge at the 1e-3 level by the last epoch, while
+    Te values of ADJACENT epochs differ by ~1e-1 — the 2e-2 tolerance
+    cleanly distinguishes right-epoch (noise) from wrong-epoch (selection
+    bug) without being bitwise-fragile."""
+    import optax
+
+    from tsadar_tpu.core.params import get_filter_spec, partition
+
+    n_rows, epochs, lr = 4, 7, 0.3
+    cfg, loss_fn, batch = _setup(batch_size=n_rows)
+    cfg["optimizer"]["num_epochs"] = epochs
+    cfg["optimizer"]["chunk_size"] = 3
+    cfg["optimizer"]["learning_rate"] = lr
+    cfg["optimizer"]["track_best"] = "per_lineout"
+    loss_pl, w_pl = _1d_adam_loop_(cfg, loss_fn, None, batch)
+
+    # manual replay of the trajectory
+    cfg2, loss_fn2, batch2 = _setup(batch_size=n_rows)
+    ts = ThomsonParams.create(cfg2["parameters"], n_rows, batch=True, activate=True)
+    diff, static = partition(ts, get_filter_spec(cfg2["parameters"], ts))
+    opt = optax.adam(lr)
+    state = opt.init(diff)
+    tes, rowss = [], []
+    for _ in range(epochs):
+        (value, aux), grad = loss_fn2._vg_func_(diff, static, batch2)
+        rowss.append(np.asarray(aux[2]))
+        updates, state = opt.update(grad, state)
+        diff = optax.apply_updates(diff, updates)
+        tes.append(np.asarray(diff.electron.params.normed["Te"]))
+    rowss, tes = np.array(rowss), np.array(tes)
+
+    best_epoch = rowss.argmin(axis=0)
+    assert len(set(best_epoch.tolist())) > 1  # selection actually engages
+    expected_te = tes[best_epoch, np.arange(n_rows)]
+
+    got_diff, got_static = partition(w_pl, get_filter_spec(cfg["parameters"], w_pl))
+    got_te = np.asarray(got_diff.electron.params.normed["Te"])
+    np.testing.assert_allclose(got_te, expected_te, rtol=2e-2)
+
+    # the returned scalar is the assembled params' actual joint loss
+    recomputed, _ = loss_fn._loss_(got_diff, got_static, batch)
+    assert np.isclose(loss_pl, float(recomputed), rtol=1e-10)

@@ -201,6 +201,34 @@ def test_one_d_loop_data_parallel_matches_single():
     assert_allclose(losses[True], losses[False], rtol=1e-10)
 
 
+def test_one_d_loop_lbfgs_data_parallel_matches_single():
+    """The device-resident L-BFGS path also shards; parity vs single-device."""
+    from __graft_entry__ import _make_batch, _small_config
+    from tsadar_tpu.inverse.loops import one_d_loop
+
+    batch_size = 8
+    b = _make_batch(batch_size)
+    all_data = {
+        "e_data": b["e_data"], "e_amps": b["e_amps"],
+        "i_data": b["i_data"], "i_amps": b["i_amps"],
+        "noiseE": b["noise_e"], "noiseI": b["noise_i"],
+    }
+    from tsadar_tpu.utils.data_handling.calibration import get_scattering_angles
+
+    losses = {}
+    for parallel in (True, False):
+        cfg = _small_config(batch_size)
+        cfg["optimizer"]["method"] = "lbfgs"
+        cfg["optimizer"]["num_epochs"] = 2
+        cfg["optimizer"]["parallel"] = parallel
+        sas = get_scattering_angles(cfg)
+        _, loss, _ = one_d_loop(cfg, all_data, sas, np.arange(batch_size), 1)
+        losses[parallel] = loss
+        assert np.isfinite(loss)
+
+    assert_allclose(losses[True], losses[False], rtol=1e-10)
+
+
 def test_fit_mesh_trims_to_batch_divisor():
     """batch sizes not divisible by the device count get the largest dividing
     mesh (GSPMD would otherwise pad the batch axis)."""

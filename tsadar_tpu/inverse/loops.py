@@ -174,48 +174,77 @@ def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch:
     if num_epochs == 0:
         return np.inf, ts_params
 
-    def one_step(dp, state, best_loss, best_dp):
+    # TPU-first extension beyond the reference: `optimizer.track_best:
+    # per_lineout` keeps each LINEOUT's best-so-far parameters independently
+    # (per-row masked-mean losses come back in the loss aux at no extra model
+    # cost), so one lineout drifting past its optimum late in the fit cannot
+    # drag the others' reported parameters with it.  Batched (per-lineout)
+    # leaves select by their row's loss; any shared leaves follow the scalar
+    # rule.  Default "overall" preserves the reference's association exactly.
+    per_lineout = config["optimizer"].get("track_best", "overall") == "per_lineout"
+    if per_lineout:
+        row_mask, _ = _batched_leaf_mask(config, diff_params, static_params)
+        n_rows = np.shape(batch["e_data"])[0]
+
+    def one_step(dp, state, best_loss, best_dp, best_rows):
         (value, aux), grad = loss_fn._vg_func_(dp, static_params, batch)
         updates, state = opt.update(grad, state)
         dp = optax.apply_updates(dp, updates)
+        # pre-update loss credited to post-update params (reference assoc.)
         improved = value < best_loss
         best_loss = jnp.where(improved, value, best_loss)
-        best_dp = jax.tree.map(lambda n, o: jnp.where(improved, n, o), dp, best_dp)
-        return dp, state, value, best_loss, best_dp
+        if per_lineout:
+            row_loss = aux[2]
+            row_improved = row_loss < best_rows
+            best_rows = jnp.where(row_improved, row_loss, best_rows)
+
+            def pick(n, o, is_row):
+                sel = row_improved.reshape((-1,) + (1,) * (n.ndim - 1)) if is_row else improved
+                return jnp.where(sel, n, o)
+
+            best_dp = jax.tree.map(pick, dp, best_dp, row_mask)
+        else:
+            best_dp = jax.tree.map(lambda n, o: jnp.where(improved, n, o), dp, best_dp)
+        return dp, state, value, best_loss, best_dp, best_rows
 
     best_loss = jnp.asarray(np.inf)
+    best_rows = jnp.full((n_rows,), np.inf) if per_lineout else jnp.zeros(())
     best_dp = diff_params
 
     if tbatch is not None:  # progress display syncs every epoch; keep 1 step/dispatch
         step = jax.jit(one_step)
         for i_epoch in range(num_epochs):
-            diff_params, opt_state, epoch_loss, best_loss, best_dp = step(
-                diff_params, opt_state, best_loss, best_dp
+            diff_params, opt_state, epoch_loss, best_loss, best_dp, best_rows = step(
+                diff_params, opt_state, best_loss, best_dp, best_rows
             )
             tbatch.set_description(f"Epoch {i_epoch + 1}, Prev Epoch Loss {float(epoch_loss):.2e}")
     else:
         chunk = max(1, int(config["optimizer"].get("chunk_size", 8)))
 
         @partial(jax.jit, static_argnames="length")
-        def run_chunk(dp, state, b_loss, b_dp, length):
+        def run_chunk(dp, state, b_loss, b_dp, b_rows, length):
             def body(carry, _):
-                dp, state, b_loss, b_dp = carry
-                dp, state, value, b_loss, b_dp = one_step(dp, state, b_loss, b_dp)
-                return (dp, state, b_loss, b_dp), value
+                dp, state, b_loss, b_dp, b_rows = carry
+                dp, state, value, b_loss, b_dp, b_rows = one_step(dp, state, b_loss, b_dp, b_rows)
+                return (dp, state, b_loss, b_dp, b_rows), value
 
-            (dp, state, b_loss, b_dp), _ = jax.lax.scan(
-                body, (dp, state, b_loss, b_dp), None, length=length
+            (dp, state, b_loss, b_dp, b_rows), _ = jax.lax.scan(
+                body, (dp, state, b_loss, b_dp, b_rows), None, length=length
             )
-            return dp, state, b_loss, b_dp
+            return dp, state, b_loss, b_dp, b_rows
 
         done = 0
         while done < num_epochs:
             length = min(chunk, num_epochs - done)
-            diff_params, opt_state, best_loss, best_dp = run_chunk(
-                diff_params, opt_state, best_loss, best_dp, length
+            diff_params, opt_state, best_loss, best_dp, best_rows = run_chunk(
+                diff_params, opt_state, best_loss, best_dp, best_rows, length
             )
             done += length
 
+    if per_lineout:
+        # the assembled params mix epochs per lineout; report their actual
+        # joint loss (one extra dispatch) rather than the scalar-best seen
+        best_loss, _ = loss_fn._loss_(best_dp, static_params, batch)
     return float(best_loss), combine(best_dp, static_params)
 
 

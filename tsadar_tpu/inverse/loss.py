@@ -98,11 +98,18 @@ class LossFunction:
         raise NotImplementedError(method)
 
     def calc_ei_error(self, batch, ThryI, lamAxisI, ThryE, lamAxisE, uncert, reduce_func="mean"):
-        """Windowed IAW/EPW errors (reference loss_function.py:190-267)."""
+        """Windowed IAW/EPW errors (reference loss_function.py:190-267).
+
+        Also returns per-lineout (row) masked means of the same functionals —
+        the error arrays are already materialized, so the row reductions cost
+        one extra [B, L] -> [B] pass each; they feed the on-device
+        per-lineout best tracking (``optimizer.track_best: per_lineout``)."""
         i_error = 0.0
         e_error = 0.0
         i_data = batch["i_data"]
         e_data = batch["e_data"]
+        i_row = jnp.zeros(jnp.shape(i_data)[0] if jnp.ndim(i_data) > 1 else 1)
+        e_row = jnp.zeros(jnp.shape(e_data)[0] if jnp.ndim(e_data) > 1 else 1)
         sqdev = {"ele": jnp.zeros(e_data.shape), "ion": jnp.zeros(i_data.shape)}
         fr = self.cfg["data"]["fit_rng"]
         method = self.cfg["optimizer"]["loss_method"]
@@ -113,23 +120,27 @@ class LossFunction:
                 (lamAxisI > fr["iaw_cf_max"]) & (lamAxisI < fr["iaw_max"])
             )
             i_error += _masked_reduce(_error_, mask, reduce_func)
+            i_row += _masked_reduce(_error_, mask, "mean_axis1")
             sqdev["ion"] = jnp.where(mask, _error_, 0.0)
 
         if self.cfg["other"]["extraoptions"]["fit_EPWb"]:
             _error_ = self.loss_functionals(e_data, ThryE, uncert[1], method=method)
             mask = (lamAxisE > fr["blue_min"]) & (lamAxisE < fr["blue_max"])
             e_error += _masked_reduce(_error_, mask, reduce_func)
+            e_row += _masked_reduce(_error_, mask, "mean_axis1")
             sqdev["ele"] += jnp.where(mask, _error_, 0.0)
 
         if self.cfg["other"]["extraoptions"]["fit_EPWr"]:
             _error_ = self.loss_functionals(e_data, ThryE, uncert[1], method=method)
             mask = (lamAxisE > fr["red_min"]) & (lamAxisE < fr["red_max"])
             e_error += _masked_reduce(_error_, mask, reduce_func)
+            e_row += _masked_reduce(_error_, mask, "mean_axis1")
             if self.cfg["other"]["extraoptions"]["fit_EPWb"]:
                 e_error *= 0.5
+                e_row *= 0.5
             sqdev["ele"] += jnp.where(mask, _error_, 0.0)
 
-        return i_error, e_error, sqdev
+        return i_error, e_error, sqdev, i_row, e_row
 
     def calc_loss(self, ts_params, batch: Dict, denom, reduce_func="mean"):
         """Total loss (reference loss_function.py:269-341)."""
@@ -152,38 +163,42 @@ class LossFunction:
                 return TE + b["noise_e"], TI + b["noise_i"]
 
             ThryE_rot, _ = rotated_call(ts_params, batch["b2"])
-            i1, e1, sqdev = self.calc_ei_error(batch["b1"], ThryI, lamAxisI, ThryE, lamAxisE, denom, reduce_func)
-            i2, e2, sqdev = self.calc_ei_error(batch["b2"], ThryI, lamAxisI, ThryE_rot, lamAxisE, denom, reduce_func)
+            i1, e1, sqdev, ir1, er1 = self.calc_ei_error(batch["b1"], ThryI, lamAxisI, ThryE, lamAxisE, denom, reduce_func)
+            i2, e2, sqdev, ir2, er2 = self.calc_ei_error(batch["b2"], ThryI, lamAxisI, ThryE_rot, lamAxisE, denom, reduce_func)
             i_error = i1 + i2
             e_error = e1 + e2
+            i_row, e_row = ir1 + ir2, er1 + er2
         else:
             ThryE, ThryI, lamAxisE, lamAxisI = self.ts_diag(ts_params, batch)
             if denom is None:
                 denom = [ThryI, ThryE]
-            i_error, e_error, sqdev = self.calc_ei_error(
+            i_error, e_error, sqdev, i_row, e_row = self.calc_ei_error(
                 batch, ThryI, lamAxisI, ThryE, lamAxisE, denom, reduce_func
             )
 
         ion_error = self.cfg["data"]["ion_loss_scale"] * i_error
         penalty_error = self.penalties(ts_params())
         total_loss = ion_error + e_error + penalty_error
-        return total_loss, sqdev, ThryE, ThryI, ts_params()
+        # per-lineout losses for on-device best tracking; the (global) penalty
+        # term is deliberately excluded from the per-row selection criterion
+        row_loss = self.cfg["data"]["ion_loss_scale"] * i_row + e_row
+        return total_loss, sqdev, ThryE, ThryI, ts_params(), row_loss
 
     # -------------------------------------------------------------- interfaces
 
     def __loss__(self, diff_weights, static_weights, batch: Dict):
         weights = combine(diff_weights, static_weights)
-        total_loss, sqdev, ThryE, ThryI, params = self.calc_loss(
+        total_loss, sqdev, ThryE, ThryI, params, row_loss = self.calc_loss(
             weights,
             batch,
             denom=[jnp.square(self.i_norm), jnp.square(self.e_norm)],
             reduce_func="mean",
         )
-        return total_loss, [ThryE, params]
+        return total_loss, [ThryE, params, row_loss]
 
     def post_loss(self, weights, batch: Dict):
         """Per-lineout loss array for postprocessing (reference :375-384)."""
-        total_loss, sqdev, ThryE, ThryI, params = self.calc_loss(
+        total_loss, sqdev, ThryE, ThryI, params, _ = self.calc_loss(
             weights, batch, denom=None, reduce_func="mean_axis1"
         )
         return total_loss, sqdev, ThryE, ThryI, params
@@ -209,7 +224,7 @@ class LossFunction:
 
     def _loss_for_hess_fn_(self, weights, batch):
         ThryE, ThryI, lamAxisE, lamAxisI = self.ts_diag(weights, batch)
-        i_error, e_error, _ = self.calc_ei_error(
+        i_error, e_error, _, _, _ = self.calc_ei_error(
             batch,
             ThryI,
             lamAxisI,
