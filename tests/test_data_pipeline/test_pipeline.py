@@ -71,6 +71,33 @@ def test_prepare_data_temporal():
     assert sa["weights"].shape == (n, 10)
 
 
+@pytest.mark.parametrize("bg_type", ["ps", "auto"])
+def test_prepare_data_background_aliases(bg_type):
+    """'ps'/'um'/'auto' background types are documented aliases for 'pixel'
+    (reference evaluate_background.py:99-100) whose column is resolved by
+    lineouts.py — the full prepare path must accept them (the reference's own
+    get_lineout_bg rejects them, making the aliases dead on arrival there)."""
+    from tsadar_tpu.utils.process.prepare import prepare_data
+
+    with open(os.path.join(CONFIGS, "time_test_defaults.yaml")) as fi:
+        defaults = yaml.safe_load(fi)
+    with open(os.path.join(CONFIGS, "time_test_inputs.yaml")) as fi:
+        inputs = yaml.safe_load(fi)
+    config = merge_configs(defaults, inputs)
+    config["data"]["lineouts"]["val"] = list(
+        range(config["data"]["lineouts"]["start"], config["data"]["lineouts"]["end"], config["data"]["lineouts"]["skip"])
+    )
+    config["data"]["background"]["type"] = bg_type
+    if bg_type == "ps":
+        config["data"]["background"]["slice"] = 4000.0  # a time, not a pixel
+
+    all_data, sa, all_axes = prepare_data(config, config["data"]["shotnum"])
+    n = len(config["data"]["lineouts"]["val"])
+    assert all_data["e_data"].shape == (n, 1024)
+    assert np.all(np.isfinite(all_data["e_data"]))
+    assert np.all(np.isfinite(np.asarray(all_data["noiseE"], dtype=float)))
+
+
 def test_feature_detector():
     """Port of reference tests/test_inverse/test_feature_detector.py:13-51."""
     from numpy.testing import assert_allclose

