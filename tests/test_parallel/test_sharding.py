@@ -318,3 +318,23 @@ def test_shard_2v_points_config_plumbing():
     cfg["other"]["shard_2v_points"] = False
     lf2 = LossFunction(cfg, sas, dummy)
     assert lf2.ts_diag.model.electron_form_factor._point_sharding is None
+
+
+def test_multi_device_fit_traces_without_pallas():
+    """A >1-device fit mesh must trace through the pure-XLA lowerings:
+    pallas_call has no SPMD partitioning rule, so the XLA partitioner would
+    replicate the whole-batch Mosaic kernel on every device — silently
+    negating the data parallelism for exactly the hot ops (loops._pallas_ctx
+    docstring).  Single-device meshes and the no-mesh path keep Pallas."""
+    from tsadar_tpu.core.physics import interp
+    from tsadar_tpu.inverse.loops import _pallas_ctx
+    from tsadar_tpu.parallel import make_mesh
+
+    assert interp.pallas_enabled()
+    with _pallas_ctx(make_mesh(2)):
+        assert not interp.pallas_enabled()
+    assert interp.pallas_enabled()  # restored on exit
+    with _pallas_ctx(None):
+        assert interp.pallas_enabled()
+    with _pallas_ctx(make_mesh(1)):
+        assert interp.pallas_enabled()

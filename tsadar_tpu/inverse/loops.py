@@ -15,6 +15,7 @@ parts").
 """
 
 import pickle
+from contextlib import nullcontext
 from functools import partial
 from typing import Dict, List, Tuple
 
@@ -61,6 +62,29 @@ def _fit_mesh(config):
     while bs % n:
         n -= 1
     return make_mesh(n) if n > 1 else None
+
+
+def _pallas_ctx(mesh):
+    """Trace context for a fit running over ``mesh``.
+
+    ``pallas_call`` has no SPMD partitioning rule: under a >1-device mesh the
+    XLA partitioner replicates the Mosaic custom call — every device runs the
+    kernel on the FULL gathered batch, silently negating the data parallelism
+    for exactly the ops the kernels were built to accelerate (and JAX's
+    explicit-sharding mode rejects sharded pallas operands outright at
+    abstract-eval).  Multi-device fits therefore trace through the pure-XLA
+    lowerings (identical math — see
+    ``test_hessian_flows_through_custom_vjp_kernels`` — and GSPMD partitions
+    them cleanly along the batch axis); single-device fits keep the fused
+    kernels.  Only traces STARTED inside the context are affected, which is
+    all of them: every jit in the loop functions compiles on first call,
+    inside the loop body.
+    """
+    if mesh is not None and mesh.devices.size > 1:
+        from ..core.physics.interp import pallas_disabled
+
+        return pallas_disabled()
+    return nullcontext()
 
 
 def _batched_leaf_mask(config, diff_params, static_params):
@@ -298,28 +322,29 @@ def one_d_loop(
 
     batch_indices = np.reshape(batch_indices, (-1, config["optimizer"]["batch_size"]))
     all_weights, overall_loss, previous_weights = [], 0.0, None
-    for i_batch in range(num_batches):
-        batch = _slice_batch(all_data, batch_indices[i_batch])
+    with _pallas_ctx(mesh):
+        for i_batch in range(num_batches):
+            batch = _slice_batch(all_data, batch_indices[i_batch])
 
-        method = config["optimizer"]["method"]
-        if method == "adam":
-            best_loss, best_weights = _1d_adam_loop_(config, loss_fn, previous_weights, batch, mesh=mesh)
-        elif method == "lbfgs":
-            best_loss, best_weights = _1d_device_lbfgs_loop_(config, loss_fn, previous_weights, batch, mesh=mesh)
-        else:
-            # host scipy path: params ravel to numpy every iteration, but the
-            # closed-over data batch still shards across the mesh
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            loss_fn = LossFunction(config, sa, batch)
-            best_loss, best_weights = _1d_scipy_loop_(config, loss_fn, previous_weights, batch)
+            method = config["optimizer"]["method"]
+            if method == "adam":
+                best_loss, best_weights = _1d_adam_loop_(config, loss_fn, previous_weights, batch, mesh=mesh)
+            elif method == "lbfgs":
+                best_loss, best_weights = _1d_device_lbfgs_loop_(config, loss_fn, previous_weights, batch, mesh=mesh)
+            else:
+                # host scipy path: params ravel to numpy every iteration, but the
+                # closed-over data batch still shards across the mesh
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                loss_fn = LossFunction(config, sa, batch)
+                best_loss, best_weights = _1d_scipy_loop_(config, loss_fn, previous_weights, batch)
 
-        all_weights.append(best_weights)
-        mlflow.log_metrics({"batch loss": float(best_loss)}, step=i_batch)
-        overall_loss += best_loss
+            all_weights.append(best_weights)
+            mlflow.log_metrics({"batch loss": float(best_loss)}, step=i_batch)
+            overall_loss += best_loss
 
-        if config["optimizer"].get("sequential", False):
-            previous_weights = best_weights
+            if config["optimizer"].get("sequential", False):
+                previous_weights = best_weights
 
     return all_weights, overall_loss, loss_fn
 
