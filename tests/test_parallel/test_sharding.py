@@ -320,21 +320,114 @@ def test_shard_2v_points_config_plumbing():
     assert lf2.ts_diag.model.electron_form_factor._point_sharding is None
 
 
-def test_multi_device_fit_traces_without_pallas():
-    """A >1-device fit mesh must trace through the pure-XLA lowerings:
-    pallas_call has no SPMD partitioning rule, so the XLA partitioner would
-    replicate the whole-batch Mosaic kernel on every device — silently
-    negating the data parallelism for exactly the hot ops (loops._pallas_ctx
-    docstring).  Single-device meshes and the no-mesh path keep Pallas."""
+def test_multi_device_fit_keeps_pallas_unless_opted_out():
+    """Multi-device fit meshes keep the fused Pallas kernels by default — the
+    kernels carry an explicit leading-batch-dim GSPMD rule
+    (ops.partitioning.batch0_partitioned), so each device runs the kernel on
+    its lineout shard.  `optimizer.pallas_sharded: false` opts back into the
+    pure-XLA lowerings as a fallback (loops._pallas_ctx docstring)."""
     from tsadar_tpu.core.physics import interp
     from tsadar_tpu.inverse.loops import _pallas_ctx
     from tsadar_tpu.parallel import make_mesh
 
     assert interp.pallas_enabled()
     with _pallas_ctx(make_mesh(2)):
+        assert interp.pallas_enabled()  # default: sharded Pallas stays on
+    cfg = {"optimizer": {"pallas_sharded": False}}
+    with _pallas_ctx(make_mesh(2), cfg):
         assert not interp.pallas_enabled()
     assert interp.pallas_enabled()  # restored on exit
-    with _pallas_ctx(None):
+    with _pallas_ctx(None, cfg):
+        assert interp.pallas_enabled()  # opt-out is a no-op without a mesh
+    with _pallas_ctx(make_mesh(1), cfg):
         assert interp.pallas_enabled()
-    with _pallas_ctx(make_mesh(1)):
-        assert interp.pallas_enabled()
+
+
+def test_pallas_interp_partitioned_matches_unsharded():
+    """The fused interp kernels under a 2-device mesh (interpret mode via the
+    test hook) must be bit-exact vs the unsharded kernels AND vs the pure-XLA
+    lowering — forward and both cotangents, linear and cubic.  This exercises
+    the library-level dispatch (interp1d_*_blocked), the custom_vjp, the
+    custom_vmap lift, and the GSPMD partitioning rule together."""
+    from tsadar_tpu.core.physics import interp
+    from tsadar_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B, Q, n = 8, 2048, 160
+    key = jax.random.PRNGKey(0)
+    kq, kf = jax.random.split(key)
+    x = jnp.linspace(-2.0, 3.0, n, dtype=jnp.float32)
+    f = jax.random.normal(kf, (B, n), dtype=jnp.float32)
+    xq = jax.random.uniform(kq, (B, Q), dtype=jnp.float32, minval=-2.0, maxval=3.0)
+
+    mesh = make_mesh(2)
+    shard = NamedSharding(mesh, P("batch"))
+
+    for fn in (interp.interp1d_linear_blocked, interp.interp1d_cubic_blocked):
+        def loss(xq_, f_):
+            # grid shared across the batch (the linear kernel requires it —
+            # production chi_R grids are static), queries/tables per-lineout
+            out = jax.vmap(fn, in_axes=(0, None, 0))(xq_, x, f_)
+            return jnp.sum(out * jnp.cos(jnp.arange(Q, dtype=jnp.float32))), out
+
+        vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1), has_aux=True))
+
+        # pure-XLA reference (Pallas off)
+        with interp.pallas_disabled():
+            (l_ref, out_ref), (gq_ref, gf_ref) = vg(xq, f)
+
+        with interp.pallas_interpret_forced():
+            # unsharded Pallas (interpret)
+            (l_u, out_u), (gq_u, gf_u) = vg(xq, f)
+            # sharded Pallas (interpret) — batch axis split 4 rows/device
+            args_sh = jax.device_put((xq, f), shard)
+            (l_s, out_s), (gq_s, gf_s) = vg(*args_sh)
+
+        # Pallas kernels are bit-exact vs the XLA lowering (interp_kernel2)
+        assert_allclose(np.asarray(out_u), np.asarray(out_ref), rtol=0, atol=0)
+        assert_allclose(np.asarray(gf_u), np.asarray(gf_ref), rtol=0, atol=0)
+        # sharded == unsharded up to bf16-split roundoff: the shard-local
+        # matmul has a different shape, and the CPU backend's bf16 gemm
+        # accumulation order is shape- (and compile-) dependent, so the lo
+        # split term rounds differently (~2^-16 relative).  On TPU the
+        # per-shard Mosaic program is the single-device kernel at a smaller
+        # grid — same dot shapes per tile.
+        tol = dict(rtol=2e-4, atol=1e-4 * float(np.max(np.abs(out_u))))
+        assert_allclose(np.asarray(out_s), np.asarray(out_u), **tol)
+        assert_allclose(np.asarray(gq_s), np.asarray(gq_u), rtol=2e-4,
+                        atol=1e-4 * float(np.max(np.abs(gq_u))))
+        assert_allclose(np.asarray(gf_s), np.asarray(gf_u), rtol=2e-4,
+                        atol=1e-4 * float(np.max(np.abs(gf_u))))
+        # the scalar loss reduces per-shard then all-reduces — a different
+        # summation ORDER than the single-device sum (f32 roundoff only)
+        assert_allclose(float(l_s), float(l_u), rtol=1e-5)
+
+
+def test_pallas_partitioned_lowering_is_local():
+    """The partitioned kernel program must actually be LOCAL: the per-shard
+    lowering sees the shard-local batch (B/ndev rows), and the partitioned
+    module contains no cross-device collectives for the kernel outputs
+    (dim-0 sharding in, dim-0 sharding out)."""
+    from tsadar_tpu.ops.interp_kernel2 import lin_interp_pallas2, segments_for_pallas2
+    from tsadar_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B, Q, n = 8, 2048, 160
+    x0, dx = -2.0, 5.0 / (n - 1)
+    f = jax.random.normal(jax.random.PRNGKey(1), (B, n), dtype=jnp.float32)
+    xq = jnp.linspace(-1.5, 2.5, Q, dtype=jnp.float32)
+    xq = jnp.broadcast_to(xq, (B, Q))
+    meta = jnp.stack([jnp.float32(x0), jnp.float32(dx), jnp.float32(n)])
+    segt = segments_for_pallas2(f)
+
+    mesh = make_mesh(8)
+    qs = jax.device_put(xq, NamedSharding(mesh, P("batch")))
+    ss = jax.device_put(segt, NamedSharding(mesh, P("batch")))
+
+    fn = jax.jit(lambda a, b, m: lin_interp_pallas2(a, b, m, interpret=True))
+    lowered = fn.lower(qs, ss, meta).compile()
+    out, diff = fn(qs, ss, meta)
+    # outputs stay sharded along the batch axis, one row per device
+    assert out.sharding.shard_shape(out.shape)[0] == 1
+    assert "all-gather" not in lowered.as_text()
+    assert "all-reduce" not in lowered.as_text()

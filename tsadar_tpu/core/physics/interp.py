@@ -189,7 +189,32 @@ def pallas_enabled():
     return _PALLAS_ENABLED
 
 
+_PALLAS_INTERPRET = False
+
+
+@_contextlib.contextmanager
+def pallas_interpret_forced():
+    """TEST HOOK: route interp dispatch through the Pallas kernels in
+    interpret mode on any backend.
+
+    The kernels normally dispatch only on TPU; this lets CPU test meshes
+    (8 virtual devices) exercise the full interp-level Pallas path —
+    including the GSPMD partitioning rules (ops.partitioning) that shard the
+    kernels along the lineout batch — without a multi-chip TPU.  Interpret
+    mode runs the kernel body as jnp ops, so results match the Mosaic
+    compilation up to backend matmul differences."""
+    global _PALLAS_INTERPRET
+    prev = _PALLAS_INTERPRET
+    _PALLAS_INTERPRET = True
+    try:
+        yield
+    finally:
+        _PALLAS_INTERPRET = prev
+
+
 def _use_pallas2(xq, f):
+    if _PALLAS_ENABLED and _PALLAS_INTERPRET and f.dtype == jnp.float32:
+        return True
     return (
         _PALLAS_ENABLED
         and _jax.default_backend() == "tpu"
@@ -315,7 +340,7 @@ def _pallas2_core(qf, f, meta):
     from ...ops.interp_kernel2 import lin_interp_pallas2, segments_for_pallas2
 
     segt = segments_for_pallas2(f[None, :])
-    out, diff = lin_interp_pallas2(qf[None, :], segt, meta)
+    out, diff = lin_interp_pallas2(qf[None, :], segt, meta, interpret=_PALLAS_INTERPRET)
     return out[0], diff[0]
 
 
@@ -329,7 +354,7 @@ def _pallas2_core_vmap(axis_size, in_batched, qf, f, meta):
         qf = jnp.broadcast_to(qf[None, :], (axis_size,) + qf.shape)
     if not fb:
         f = jnp.broadcast_to(f[None, :], (axis_size,) + f.shape)
-    out, diff = lin_interp_pallas2(qf, segments_for_pallas2(f), meta)
+    out, diff = lin_interp_pallas2(qf, segments_for_pallas2(f), meta, interpret=_PALLAS_INTERPRET)
     return (out, diff), (True, True)
 
 
@@ -359,7 +384,7 @@ def _pallas2_bwd_core_for(nblk):
     def core(qf, gf, meta):
         from ...ops.interp_kernel2 import lin_interp_pallas2_bwd
 
-        return lin_interp_pallas2_bwd(qf[None, :], gf[None, :], meta, nblk)[0]
+        return lin_interp_pallas2_bwd(qf[None, :], gf[None, :], meta, nblk, interpret=_PALLAS_INTERPRET)[0]
 
     @core.def_vmap
     def _vmap(axis_size, in_batched, qf, gf, meta):
@@ -371,7 +396,7 @@ def _pallas2_bwd_core_for(nblk):
             qf = jnp.broadcast_to(qf[None, :], (axis_size,) + qf.shape)
         if not gb:
             gf = jnp.broadcast_to(gf[None, :], (axis_size,) + gf.shape)
-        return lin_interp_pallas2_bwd(qf, gf, meta, nblk), True
+        return lin_interp_pallas2_bwd(qf, gf, meta, nblk, interpret=_PALLAS_INTERPRET), True
 
     return core
 
@@ -970,7 +995,7 @@ def _cubic_pallas2_core(qf, f, meta):
     from ...ops.interp_kernel2 import cubic_interp_pallas2, cubic_segments_for_pallas2
 
     segt = cubic_segments_for_pallas2(f[None, :])
-    out, dout = cubic_interp_pallas2(qf[None, :], segt, meta[None, :])
+    out, dout = cubic_interp_pallas2(qf[None, :], segt, meta[None, :], interpret=_PALLAS_INTERPRET)
     return out[0], dout[0]
 
 
@@ -985,7 +1010,7 @@ def _cubic_pallas2_core_vmap(axis_size, in_batched, qf, f, meta):
         f = jnp.broadcast_to(f[None, :], (axis_size,) + f.shape)
     if not mb:
         meta = jnp.broadcast_to(meta[None, :], (axis_size,) + meta.shape)
-    out, dout = cubic_interp_pallas2(qf, cubic_segments_for_pallas2(f), meta)
+    out, dout = cubic_interp_pallas2(qf, cubic_segments_for_pallas2(f), meta, interpret=_PALLAS_INTERPRET)
     return (out, dout), (True, True)
 
 
@@ -1012,7 +1037,7 @@ def _cubic_pallas2_bwd_core_for(nblk):
     def core(qf, gf, meta):
         from ...ops.interp_kernel2 import cubic_interp_pallas2_bwd
 
-        return cubic_interp_pallas2_bwd(qf[None, :], gf[None, :], meta[None, :], nblk)[0]
+        return cubic_interp_pallas2_bwd(qf[None, :], gf[None, :], meta[None, :], nblk, interpret=_PALLAS_INTERPRET)[0]
 
     @core.def_vmap
     def _vmap(axis_size, in_batched, qf, gf, meta):
@@ -1025,7 +1050,7 @@ def _cubic_pallas2_bwd_core_for(nblk):
             gf = jnp.broadcast_to(gf[None, :], (axis_size,) + gf.shape)
         if not mb:
             meta = jnp.broadcast_to(meta[None, :], (axis_size,) + meta.shape)
-        return cubic_interp_pallas2_bwd(qf, gf, meta, nblk), True
+        return cubic_interp_pallas2_bwd(qf, gf, meta, nblk, interpret=_PALLAS_INTERPRET), True
 
     return core
 

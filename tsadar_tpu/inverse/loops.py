@@ -64,26 +64,32 @@ def _fit_mesh(config):
     return make_mesh(n) if n > 1 else None
 
 
-def _pallas_ctx(mesh):
+def _pallas_ctx(mesh, config=None):
     """Trace context for a fit running over ``mesh``.
 
-    ``pallas_call`` has no SPMD partitioning rule: under a >1-device mesh the
-    XLA partitioner replicates the Mosaic custom call — every device runs the
-    kernel on the FULL gathered batch, silently negating the data parallelism
-    for exactly the ops the kernels were built to accelerate (and JAX's
-    explicit-sharding mode rejects sharded pallas operands outright at
-    abstract-eval).  Multi-device fits therefore trace through the pure-XLA
-    lowerings (identical math — see
-    ``test_hessian_flows_through_custom_vjp_kernels`` — and GSPMD partitions
-    them cleanly along the batch axis); single-device fits keep the fused
-    kernels.  Only traces STARTED inside the context are affected, which is
-    all of them: every jit in the loop functions compiles on first call,
-    inside the loop body.
+    ``pallas_call`` has no SPMD partitioning rule of its own — a bare Mosaic
+    custom call under a >1-device mesh is replicated by the partitioner, so
+    every device would run the kernel on the FULL gathered batch.  The fused
+    interp kernels therefore carry an explicit leading-batch-dim rule
+    (``ops.partitioning.batch0_partitioned``): each device runs the kernel on
+    its lineout shard, no collectives.  Multi-device fits keep Pallas by
+    default; sharded-vs-unsharded bit-exactness is pinned in
+    ``test_parallel/test_sharding.py``.
+
+    ``optimizer.pallas_sharded: false`` opts back into the pure-XLA lowerings
+    for multi-device meshes (identical math — see
+    ``test_hessian_flows_through_custom_vjp_kernels`` — GSPMD partitions them
+    cleanly along the batch axis), as a fallback should a Mosaic/partitioner
+    interaction misbehave on a real multi-chip topology.  Only traces STARTED
+    inside the context are affected, which is all of them: every jit in the
+    loop functions compiles on first call, inside the loop body.
     """
     if mesh is not None and mesh.devices.size > 1:
-        from ..core.physics.interp import pallas_disabled
+        sharded_ok = True if config is None else config["optimizer"].get("pallas_sharded", True)
+        if not sharded_ok:
+            from ..core.physics.interp import pallas_disabled
 
-        return pallas_disabled()
+            return pallas_disabled()
     return nullcontext()
 
 
@@ -322,7 +328,7 @@ def one_d_loop(
 
     batch_indices = np.reshape(batch_indices, (-1, config["optimizer"]["batch_size"]))
     all_weights, overall_loss, previous_weights = [], 0.0, None
-    with _pallas_ctx(mesh):
+    with _pallas_ctx(mesh, config):
         for i_batch in range(num_batches):
             batch = _slice_batch(all_data, batch_indices[i_batch])
 

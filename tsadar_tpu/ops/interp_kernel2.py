@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .partitioning import batch0_partitioned
+
 _BLK = 8  # table block width (= segment columns), as in interp._BLOCK
 QT = 2048  # query lanes per program
 
@@ -74,16 +76,7 @@ def _kernel(meta_ref, q_ref, segt_ref, o_ref, d_ref):
     d_ref[0, 0] = (f1 - f0)[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def lin_interp_pallas2(q, segcat_t, meta, interpret=False):
-    """(values, f[i0+1]-f[i0]) for per-row tables at per-row queries.
-
-    Args:
-      q: [B, Q] queries, Q % QT == 0.
-      segcat_t: [B, 3*(_BLK+1), K] bf16 — transposed, bf16-split segment
-        tables (build with ``segments_for_pallas2``).
-      meta: jnp.stack([x0, dx, n]) shared across rows.
-    """
+def _lin_interp_impl(q, segcat_t, meta, interpret):
     B, Q = q.shape
     three_c, k = segcat_t.shape[1:]
     nt = Q // QT
@@ -107,6 +100,27 @@ def lin_interp_pallas2(q, segcat_t, meta, interpret=False):
         interpret=interpret,
     )(meta, q4, segcat_t)
     return out.reshape(B, Q), diff.reshape(B, Q)
+
+
+_lin_interp_cp = batch0_partitioned(
+    _lin_interp_impl, (True, True, False), "b q, b c k, m -> b q, b q", static_argnums=(3,)
+)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lin_interp_pallas2(q, segcat_t, meta, interpret=False):
+    """(values, f[i0+1]-f[i0]) for per-row tables at per-row queries.
+
+    Args:
+      q: [B, Q] queries, Q % QT == 0.
+      segcat_t: [B, 3*(_BLK+1), K] bf16 — transposed, bf16-split segment
+        tables (build with ``segments_for_pallas2``).
+      meta: jnp.stack([x0, dx, n]) shared across rows.
+
+    Partitions along dim 0 under a mesh (ops.partitioning): each device runs
+    the kernel on its local batch rows; no collectives.
+    """
+    return _lin_interp_cp(q, segcat_t, meta, interpret)
 
 
 def _bwd_kernel(meta_ref, q_ref, g_ref, d2_ref):
@@ -170,20 +184,7 @@ def _bwd_kernel(meta_ref, q_ref, g_ref, d2_ref):
         d2_ref[0] += part
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def lin_interp_pallas2_bwd(q, g, meta, k, interpret=False):
-    """Table cotangent D2 [B, 2*(_BLK+1), K] for per-row queries/cotangents.
-
-    ``sum over the hi+lo halves`` gives dseg-transposed [B, _BLK+1, K]; the
-    caller folds the overlapping segments back to the table
-    (interp._blocked_vjp_bwd).  K rides the LANE axis (see _bwd_kernel).
-
-    Args:
-      q: [B, Q] queries, Q % QT == 0 (pad with x0; pad cotangents with 0).
-      g: [B, Q] output cotangents.
-      meta: jnp.stack([x0, dx, n]) shared across rows.
-      k: number of table segments (static).
-    """
+def _lin_bwd_impl(q, g, meta, k, interpret):
     B, Q = q.shape
     nt = Q // QT
     q4 = q.reshape(B, nt, 1, QT)
@@ -201,6 +202,29 @@ def lin_interp_pallas2_bwd(q, g, meta, k, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, c2, k), jnp.float32),
         interpret=interpret,
     )(meta, q4, g4)
+
+
+_lin_bwd_cp = batch0_partitioned(
+    _lin_bwd_impl, (True, True, False), "b q, b q, m -> b c k", static_argnums=(3, 4)
+)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def lin_interp_pallas2_bwd(q, g, meta, k, interpret=False):
+    """Table cotangent D2 [B, 2*(_BLK+1), K] for per-row queries/cotangents.
+
+    ``sum over the hi+lo halves`` gives dseg-transposed [B, _BLK+1, K]; the
+    caller folds the overlapping segments back to the table
+    (interp._blocked_vjp_bwd).  K rides the LANE axis (see _bwd_kernel).
+    Partitions along dim 0 under a mesh (ops.partitioning).
+
+    Args:
+      q: [B, Q] queries, Q % QT == 0 (pad with x0; pad cotangents with 0).
+      g: [B, Q] output cotangents.
+      meta: jnp.stack([x0, dx, n]) shared across rows.
+      k: number of table segments (static).
+    """
+    return _lin_bwd_cp(q, g, meta, k, interpret)
 
 
 def segments_for_pallas2(f):
@@ -277,23 +301,7 @@ def _cubic_kernel(meta_ref, q_ref, segt_ref, o_ref, d_ref):
     d_ref[0, 0] = sum(w * tap for w, tap in zip(dw, taps))[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def cubic_interp_pallas2(q, segcat_t, meta, interpret=False):
-    """(values, d(values)/dt) for per-row tables at per-row queries.
-
-    Same math as ``interp.interp1d_cubic_blocked``'s forward (bit-exact);
-    the second output is the per-query Hermite derivative w.r.t. the cell
-    coordinate t, so the backward's query cotangent is g * dout_dt / dx.
-
-    Args:
-      q: [B, Q] queries, Q % QT == 0 (pad with x0).
-      segcat_t: [B, 3*(_BLK+3), K] bf16 (build with
-        ``cubic_segments_for_pallas2``).
-      meta: [B, 3] per-row (x0, dx, n) — per-row because the EDF velocity
-        grid arrives through the batched parameter pytree (identical values
-        across lineouts, but a batched tracer under vmap), unlike the linear
-        kernel's static chi_R pole grid.
-    """
+def _cubic_interp_impl(q, segcat_t, meta, interpret):
     B, Q = q.shape
     three_c, k = segcat_t.shape[1:]
     nt = Q // QT
@@ -318,6 +326,32 @@ def cubic_interp_pallas2(q, segcat_t, meta, interpret=False):
         interpret=interpret,
     )(meta3, q4, segcat_t)
     return out.reshape(B, Q), dout.reshape(B, Q)
+
+
+_cubic_interp_cp = batch0_partitioned(
+    _cubic_interp_impl, (True, True, True), "b q, b c k, b m -> b q, b q", static_argnums=(3,)
+)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cubic_interp_pallas2(q, segcat_t, meta, interpret=False):
+    """(values, d(values)/dt) for per-row tables at per-row queries.
+
+    Same math as ``interp.interp1d_cubic_blocked``'s forward (bit-exact);
+    the second output is the per-query Hermite derivative w.r.t. the cell
+    coordinate t, so the backward's query cotangent is g * dout_dt / dx.
+    Partitions along dim 0 under a mesh (ops.partitioning).
+
+    Args:
+      q: [B, Q] queries, Q % QT == 0 (pad with x0).
+      segcat_t: [B, 3*(_BLK+3), K] bf16 (build with
+        ``cubic_segments_for_pallas2``).
+      meta: [B, 3] per-row (x0, dx, n) — per-row because the EDF velocity
+        grid arrives through the batched parameter pytree (identical values
+        across lineouts, but a batched tracer under vmap), unlike the linear
+        kernel's static chi_R pole grid.
+    """
+    return _cubic_interp_cp(q, segcat_t, meta, interpret)
 
 
 def _cubic_bwd_kernel(meta_ref, q_ref, g_ref, d2_ref):
@@ -368,19 +402,7 @@ def _cubic_bwd_kernel(meta_ref, q_ref, g_ref, d2_ref):
         d2_ref[0] += part
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def cubic_interp_pallas2_bwd(q, g, meta, k, interpret=False):
-    """Cubic table cotangent D2 [B, K, 2*(_BLK+3)] for per-row queries/cotangents.
-
-    ``D2[..., :c] + D2[..., c:]`` gives dseg [B, K, _BLK+3]; the caller folds
-    the overlapping segments back to the table (interp._cubic_blocked_vjp_bwd).
-
-    Args:
-      q: [B, Q] queries, Q % QT == 0 (pad with x0; pad cotangents with 0).
-      g: [B, Q] output cotangents.
-      meta: [B, 3] per-row (x0, dx, n) — see ``cubic_interp_pallas2``.
-      k: number of table segments (static).
-    """
+def _cubic_bwd_impl(q, g, meta, k, interpret):
     B, Q = q.shape
     nt = Q // QT
     q4 = q.reshape(B, nt, 1, QT)
@@ -399,6 +421,28 @@ def cubic_interp_pallas2_bwd(q, g, meta, k, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, k, c2), jnp.float32),
         interpret=interpret,
     )(meta3, q4, g4)
+
+
+_cubic_bwd_cp = batch0_partitioned(
+    _cubic_bwd_impl, (True, True, True), "b q, b q, b m -> b k c", static_argnums=(3, 4)
+)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def cubic_interp_pallas2_bwd(q, g, meta, k, interpret=False):
+    """Cubic table cotangent D2 [B, K, 2*(_BLK+3)] for per-row queries/cotangents.
+
+    ``D2[..., :c] + D2[..., c:]`` gives dseg [B, K, _BLK+3]; the caller folds
+    the overlapping segments back to the table (interp._cubic_blocked_vjp_bwd).
+    Partitions along dim 0 under a mesh (ops.partitioning).
+
+    Args:
+      q: [B, Q] queries, Q % QT == 0 (pad with x0; pad cotangents with 0).
+      g: [B, Q] output cotangents.
+      meta: [B, 3] per-row (x0, dx, n) — see ``cubic_interp_pallas2``.
+      k: number of table segments (static).
+    """
+    return _cubic_bwd_cp(q, g, meta, k, interpret)
 
 
 def cubic_segments_for_pallas2(f):

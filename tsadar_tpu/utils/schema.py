@@ -230,6 +230,7 @@ def _check_optimizer(cfg, required):
     _check_bool(cfg, ("optimizer", "x_norm"))
     _check_bool(cfg, ("optimizer", "y_norm"))
     _check_bool(cfg, ("optimizer", "parallel"))
+    _check_bool(cfg, ("optimizer", "pallas_sharded"))
     _check_enum(cfg, ("optimizer", "track_best"), ("overall", "per_lineout"))
 
 
