@@ -403,6 +403,83 @@ def test_pallas_interp_partitioned_matches_unsharded():
         assert_allclose(float(l_s), float(l_u), rtol=1e-5)
 
 
+def test_2v_point_sharded_kernel_path_matches_unsharded():
+    """Full calc_in_2D with point sharding through the FUSED KERNEL path
+    (interpret-forced: the CPU mesh runs the TPU table-mode dispatch,
+    num_beta % 128 == 0 so the bilinear kernel engages, and the query-axis
+    GSPMD rule partitions it).  Must match the unsharded spectrum."""
+    from tsadar_tpu.core.physics import interp
+
+    assert jax.device_count() >= 8
+    vx, f2 = _edf_2v()
+    sa = {"sa": np.linspace(50, 70, 8)}
+    kw = dict(npts=256, lam_shift=0.0, scattering_angles=sa, num_grad_points=1,
+              ud_ang=0.0, va_ang=0.0, num_beta=128)
+    p = _params(f2, vx)
+    # f32 params: the kernels are f32-only (TPU dtype policy)
+    p = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), p)
+
+    with interp.pallas_interpret_forced():
+        ff_plain = FormFactor([450, 650], **kw)
+        ff_shard = FormFactor([450, 650], shard_points=True, **kw)
+        assert ff_shard._point_sharding is not None
+        S0, _ = jax.jit(ff_plain.calc_in_2D)(p)
+        S1, _ = jax.jit(ff_shard.calc_in_2D)(p)
+    scale = float(np.max(np.abs(np.asarray(S0))))
+    assert_allclose(np.asarray(S1), np.asarray(S0), rtol=2e-4, atol=1e-5 * scale)
+
+
+def test_bilinear_lookup_point_sharded_matches_unsharded():
+    """The fused 2V bilinear chi lookup under a point-sharded mesh (ARTS
+    multi-chip: queries sharded, tables replicated) must match the unsharded
+    kernel — values and all three gradients.  The backward's table cotangent
+    sums over every query shard, so its per-shard lowering all-reduces
+    (ops.partitioning.axis_partitioned psum_outs); this test pins that the
+    collective reduction is complete and placed correctly."""
+    from tsadar_tpu.core.physics import interp
+    from tsadar_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    R, nvx, Q = 128, 32, 4096  # Q = QT * 8 -> whole tiles per device
+    C = 3 * nvx - 2
+    key = jax.random.PRNGKey(2)
+    kt, kb, kx = jax.random.split(key, 3)
+    Tcat = jax.random.normal(kt, (R, C), dtype=jnp.float32)
+    beta = jax.random.uniform(kb, (Q,), dtype=jnp.float32, minval=-7.0, maxval=7.0)
+    xq = jax.random.uniform(kx, (Q,), dtype=jnp.float32, minval=-1.0, maxval=7.5)
+    v0x, dvx = -1.0, 8.5 / (nvx - 1)
+    v0p, dvp = -1.2, 9.0 / (nvx - 3)
+    w = jnp.sin(jnp.arange(Q, dtype=jnp.float32))
+
+    def make_loss(nshards):
+        def loss(T, b, x):
+            fe, dfe, chiR = interp.chi_bilinear_lookup(
+                T, b, x, v0x, dvx, v0p, dvp, nshards=nshards
+            )
+            return jnp.sum(w * (fe + 2.0 * dfe + 3.0 * chiR)), (fe, dfe, chiR)
+        return jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True))
+
+    mesh = make_mesh(8)
+    shard = NamedSharding(mesh, P("batch"))
+
+    with interp.pallas_interpret_forced():
+        (l_u, outs_u), grads_u = make_loss(1)(Tcat, beta, xq)
+        b_sh = jax.device_put(beta, shard)
+        x_sh = jax.device_put(xq, shard)
+        (l_s, outs_s), grads_s = make_loss(8)(Tcat, b_sh, x_sh)
+
+    scale = float(np.max(np.abs(np.asarray(outs_u[2]))))
+    for a, b_ in zip(outs_s, outs_u):
+        assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
+                        atol=1e-5 * scale)
+    names = ("dT", "dbeta", "dxq")
+    for name, a, b_ in zip(names, grads_s, grads_u):
+        gs = float(np.max(np.abs(np.asarray(b_)))) or 1.0
+        assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
+                        atol=1e-4 * gs, err_msg=name)
+    assert_allclose(float(l_s), float(l_u), rtol=1e-5)
+
+
 def test_pallas_partitioned_lowering_is_local():
     """The partitioned kernel program must actually be LOCAL: the per-shard
     lowering sees the shard-local batch (B/ndev rows), and the partitioned

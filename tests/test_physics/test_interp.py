@@ -313,19 +313,17 @@ def test_chi_bilinear_lookup_wrapper_pads_and_differentiates():
     count that is NOT a multiple of the kernel tile, exercising the padding
     path, the 2D query reshape, and the full VJP plumbing (dT, dbeta, dxq).
 
-    Runs the Pallas kernels in interpret mode by monkeypatching the module
-    entry points (the wrapper itself has no interpret knob — on TPU it is
-    dispatched from calc_all_chi_vals' table mode).
+    Runs the Pallas kernels in interpret mode via the
+    ``pallas_interpret_forced`` test hook (the wrapper itself has no
+    interpret knob — on TPU it is dispatched from calc_all_chi_vals' table
+    mode).
     """
-    import functools
-
     from tsadar_tpu.core.physics import interp as interp_mod
     from tsadar_tpu.core.physics.interp import (
         chi_bilinear_lookup,
         periodic_linear_rowmix,
         select_columns_linear,
     )
-    from tsadar_tpu.ops import bilinear_kernel as bk
 
     rng = np.random.default_rng(7)
     R, nvx = 256, 64
@@ -354,23 +352,15 @@ def test_chi_bilinear_lookup_wrapper_pads_and_differentiates():
         outs = chi_bilinear_lookup(T, b, x, v0x, dvx, v0p, dvp)
         return sum(jnp.sum(o * g) for o, g in zip(outs, gs))
 
-    orig_fwd, orig_bwd = bk.chi_bilinear_pallas, bk.chi_bilinear_pallas_bwd
-    bk.chi_bilinear_pallas = functools.partial(orig_fwd, interpret=True)
-    bk.chi_bilinear_pallas_bwd = functools.partial(orig_bwd, interpret=True)
-    interp_mod._bilin_core_for.cache_clear()
-    try:
+    with interp_mod.pallas_interpret_forced():
         val_ref, grads_ref = jax.value_and_grad(comp_loss, argnums=(0, 1, 2))(Tcat, bq, xq)
         val_got, grads_got = jax.value_and_grad(kern_loss, argnums=(0, 1, 2))(Tcat, bq, xq)
-        assert_allclose(float(val_got), float(val_ref), rtol=2e-5)
-        for name, ref, got in zip(("dT", "dbeta", "dxq"), grads_ref, grads_got):
-            scale = float(jnp.max(jnp.abs(ref)))
-            assert_allclose(
-                np.asarray(got), np.asarray(ref), rtol=0, atol=3e-6 * scale, err_msg=name
-            )
-    finally:
-        bk.chi_bilinear_pallas = orig_fwd
-        bk.chi_bilinear_pallas_bwd = orig_bwd
-        interp_mod._bilin_core_for.cache_clear()
+    assert_allclose(float(val_got), float(val_ref), rtol=2e-5)
+    for name, ref, got in zip(("dT", "dbeta", "dxq"), grads_ref, grads_got):
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0, atol=3e-6 * scale, err_msg=name
+        )
 
 
 def test_pallas_disabled_context_restores():

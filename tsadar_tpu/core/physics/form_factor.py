@@ -1282,7 +1282,11 @@ class FormFactor:
 
         dvx = vx[1] - vx[0]
         dpole = pole_grid[1] - pole_grid[0]
-        if jax.default_backend() == "tpu":
+        from .interp import pallas_enabled, pallas_interpret_active
+
+        # interpret-forced: CPU test meshes exercise the full TPU table path
+        # (rowmix/kernel dispatch incl. the query-sharded partitioning rule)
+        if jax.default_backend() == "tpu" or pallas_interpret_active():
             # gather-free: one fractional-two-hot row contraction over the
             # stacked (f1d | df1d | chiR) tables beta-interpolates all three at
             # once; the v-axis selection is elementwise iota-compare work.
@@ -1290,13 +1294,10 @@ class FormFactor:
             # (CLAUDE.md); this form is pure MXU/VPU.
             nvx = f1d.shape[-1]
             Tcat = jnp.concatenate([f1d, df1d, chiR_tab], axis=-1)  # [B, 2*nvx+M]
-            from .interp import pallas_enabled
 
-            if Tcat.shape[0] % 128 == 0 and self._point_sharding is None and pallas_enabled():
-                # (kernel path skipped under point sharding: pallas_call has
-                # no GSPMD partition rule, so it would force a replicating
-                # all-gather of the sharded query axis; and under
-                # interp.pallas_disabled(), the hessian/sigma trace context.
+            if Tcat.shape[0] % 128 == 0 and pallas_enabled():
+                # (kernel path skipped under interp.pallas_disabled(), the
+                # hessian/sigma trace context.
                 # NOTE: this branch returns zero cotangents for the grid
                 # scalars vx[0]/dvx — the module-wide "grids are static"
                 # convention — while the composition below propagates them
@@ -1304,9 +1305,20 @@ class FormFactor:
                 # don't compare d(loss)/d(vx) across the two sub-branches.)
                 # fused Pallas bilinear lookup: the [Q, R] two-hot and the
                 # [Q, C] row-mixed slice stay in VMEM instead of round-tripping
-                # ~0.9 GB of HBM per ARTS iteration (ops/bilinear_kernel.py)
+                # ~0.9 GB of HBM per ARTS iteration (ops/bilinear_kernel.py).
+                # Under point sharding the kernel partitions along the query
+                # axis (ops/partitioning.py): nshards sets the padding so
+                # each device gets whole query tiles; the GSPMD rule keeps
+                # the lookups device-local and all-reduces only the table
+                # cotangent in the backward.
+                nshards = (
+                    self._point_sharding.mesh.size
+                    if self._point_sharding is not None
+                    else 1
+                )
                 fe_vphi, dfe, chiR_raw = chi_bilinear_lookup(
-                    Tcat, beta, xie_mag, vx[0], dvx, pole_grid[0], dpole
+                    Tcat, beta, xie_mag, vx[0], dvx, pole_grid[0], dpole,
+                    nshards=nshards,
                 )
             else:
                 S = periodic_linear_rowmix(Tcat, beta.reshape(-1))  # [Q, 2*nvx+M]

@@ -212,6 +212,11 @@ def pallas_interpret_forced():
         _PALLAS_INTERPRET = prev
 
 
+def pallas_interpret_active():
+    """Whether the interpret-mode test hook is on (see pallas_interpret_forced)."""
+    return _PALLAS_INTERPRET
+
+
 def _use_pallas2(xq, f):
     if _PALLAS_ENABLED and _PALLAS_INTERPRET and f.dtype == jnp.float32:
         return True
@@ -691,7 +696,9 @@ def _bilin_core_for(nvx):
     def core(bq, xq, tsplit, meta):
         from ...ops.bilinear_kernel import chi_bilinear_pallas
 
-        outs = chi_bilinear_pallas(bq[None], xq[None], tsplit[None], meta[None], nvx)
+        outs = chi_bilinear_pallas(
+            bq[None], xq[None], tsplit[None], meta[None], nvx, interpret=_PALLAS_INTERPRET
+        )
         return tuple(o[0] for o in outs)
 
     @core.def_vmap
@@ -701,14 +708,15 @@ def _bilin_core_for(nvx):
         args = []
         for a, b in zip((bq, xq, tsplit, meta), in_batched):
             args.append(a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape))
-        return chi_bilinear_pallas(*args, nvx), (True,) * 6
+        return chi_bilinear_pallas(*args, nvx, interpret=_PALLAS_INTERPRET), (True,) * 6
 
     @_custom_batching_blocked.custom_vmap
     def core_bwd(bq, xq, tsplit, g0, g1, g2, meta):
         from ...ops.bilinear_kernel import chi_bilinear_pallas_bwd
 
         dt, db = chi_bilinear_pallas_bwd(
-            bq[None], xq[None], tsplit[None], g0[None], g1[None], g2[None], meta[None], nvx
+            bq[None], xq[None], tsplit[None], g0[None], g1[None], g2[None], meta[None], nvx,
+            interpret=_PALLAS_INTERPRET,
         )
         return dt[0], db[0]
 
@@ -719,20 +727,24 @@ def _bilin_core_for(nvx):
         args = []
         for a, b in zip((bq, xq, tsplit, g0, g1, g2, meta), in_batched):
             args.append(a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape))
-        return chi_bilinear_pallas_bwd(*args, nvx), (True, True)
+        return chi_bilinear_pallas_bwd(*args, nvx, interpret=_PALLAS_INTERPRET), (True, True)
 
     return core, core_bwd
 
 
-def _bilin_prepare(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
-    """(padded bq/xq flat, tsplit, meta, Q, pad) for the fused kernel."""
+def _bilin_prepare(Tcat, beta_q, xq, v0x, dvx, v0p, dvp, nshards=1):
+    """(padded bq/xq flat, tsplit, meta, Q, pad) for the fused kernel.
+
+    ``nshards`` > 1 pads the flat query axis to a multiple of QT * nshards so
+    each device of a point-sharded mesh gets a whole number of query tiles
+    (the kernel's grid requires per-shard Q % QT == 0)."""
     from ...ops.bilinear_kernel import QT, tables_for_bilinear
 
     bq = beta_q.reshape(-1)
     xf = xq.reshape(-1).astype(jnp.float32)
     bq = bq.astype(jnp.float32)
     Q = bq.shape[0]
-    pad = -Q % QT
+    pad = -Q % (QT * nshards)
     if pad:
         bq = jnp.concatenate([bq, jnp.zeros((pad,), bq.dtype)])
         fill = jnp.broadcast_to(jnp.asarray(v0x, jnp.float32), (pad,))
@@ -744,8 +756,62 @@ def _bilin_prepare(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
     return bq, xf, tsplit, meta, Q, pad
 
 
-@_jax.custom_vjp
-def chi_bilinear_lookup(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
+@_functools_blocked.lru_cache(maxsize=None)
+def _chi_bilinear_lookup_for(nshards):
+    """custom_vjp'd fused bilinear lookup, cached per point-shard count.
+
+    ``nshards`` is static (it sets the query padding), so the lookup is a
+    factory: nshards=1 is the single-device kernel; >1 pads the query axis to
+    QT * nshards so the GSPMD rule on the kernel (ops.partitioning) can give
+    every device a whole number of query tiles."""
+
+    def _fwd(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
+        nvx = (Tcat.shape[-1] + 2) // 3
+        bq, xf, tsplit, meta, Q, pad = _bilin_prepare(
+            Tcat, beta_q, xq, v0x, dvx, v0p, dvp, nshards
+        )
+        core, _ = _bilin_core_for(nvx)
+        fe, dfe, chiR, d0, d1, d2 = core(bq, xf, tsplit, meta)
+        shape = jnp.shape(beta_q)
+        rs = lambda a: a[:Q].reshape(shape)
+        out = (rs(fe), rs(dfe), rs(chiR))
+        res = (Tcat, beta_q, xq, v0x, dvx, v0p, dvp, d0, d1, d2)
+        return out, res
+
+    def _bwd(res, g):
+        Tcat, beta_q, xq, v0x, dvx, v0p, dvp, d0, d1, d2 = res
+        g0, g1, g2 = g
+        nvx = (Tcat.shape[-1] + 2) // 3
+        bq, xf, tsplit, meta, Q, pad = _bilin_prepare(
+            Tcat, beta_q, xq, v0x, dvx, v0p, dvp, nshards
+        )
+        gp = []
+        for gi in (g0, g1, g2):
+            gf = gi.reshape(-1).astype(jnp.float32)
+            if pad:
+                gf = jnp.concatenate([gf, jnp.zeros((pad,), gf.dtype)])
+            gp.append(gf)
+        _, core_bwd = _bilin_core_for(nvx)
+        dt, db = core_bwd(bq, xf, tsplit, gp[0], gp[1], gp[2], meta)
+        shape = jnp.shape(beta_q)
+        dT = dt[: Tcat.shape[0], : Tcat.shape[1]].astype(Tcat.dtype)
+        dbeta = db[:Q].reshape(shape).astype(beta_q.dtype)
+        # query cotangent from the forward-emitted derivatives (one multiply each)
+        gq = g0.reshape(-1) * d0[:Q] + g1.reshape(-1) * d1[:Q] + g2.reshape(-1) * d2[:Q]
+        dxq = gq.reshape(jnp.shape(xq)).astype(xq.dtype)
+        z = lambda a: jnp.zeros_like(a)
+        return dT, dbeta, dxq, z(v0x), z(dvx), z(v0p), z(dvp)
+
+    @_jax.custom_vjp
+    def lookup(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
+        out, _ = _fwd(Tcat, beta_q, xq, v0x, dvx, v0p, dvp)
+        return out
+
+    lookup.defvjp(_fwd, _bwd)
+    return lookup
+
+
+def chi_bilinear_lookup(Tcat, beta_q, xq, v0x, dvx, v0p, dvp, nshards=1):
     """Fused row-mix + column-lerp lookup of the stacked 2V chi tables.
 
     Semantics identical to the ``periodic_linear_rowmix`` +
@@ -758,6 +824,9 @@ def chi_bilinear_lookup(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
       Tcat: [R, 3*nvx - 2] stacked (f1d | df1d | chiR) tables.
       beta_q, xq: query angle/magnitude arrays (same shape).
       v0x, dvx: velocity-grid origin/spacing; v0p, dvp: pole-grid ditto.
+      nshards: static point-shard count of the mesh the queries are sharded
+        over (1 = unsharded); sets the query-axis padding so the kernel's
+        GSPMD rule gives each device whole query tiles.
 
     Returns:
       (fe_vphi, dfe, chiR_raw) shaped like beta_q.
@@ -765,46 +834,7 @@ def chi_bilinear_lookup(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
     Gradients flow to Tcat, beta_q, and xq; the grid scalars get zeros
     (same convention as the other custom-VJP interp kernels).
     """
-    out, _ = _bilin_vjp_fwd(Tcat, beta_q, xq, v0x, dvx, v0p, dvp)
-    return out
-
-
-def _bilin_vjp_fwd(Tcat, beta_q, xq, v0x, dvx, v0p, dvp):
-    nvx = (Tcat.shape[-1] + 2) // 3
-    bq, xf, tsplit, meta, Q, pad = _bilin_prepare(Tcat, beta_q, xq, v0x, dvx, v0p, dvp)
-    core, _ = _bilin_core_for(nvx)
-    fe, dfe, chiR, d0, d1, d2 = core(bq, xf, tsplit, meta)
-    shape = jnp.shape(beta_q)
-    rs = lambda a: a[:Q].reshape(shape)
-    out = (rs(fe), rs(dfe), rs(chiR))
-    res = (Tcat, beta_q, xq, v0x, dvx, v0p, dvp, d0, d1, d2)
-    return out, res
-
-
-def _bilin_vjp_bwd(res, g):
-    Tcat, beta_q, xq, v0x, dvx, v0p, dvp, d0, d1, d2 = res
-    g0, g1, g2 = g
-    nvx = (Tcat.shape[-1] + 2) // 3
-    bq, xf, tsplit, meta, Q, pad = _bilin_prepare(Tcat, beta_q, xq, v0x, dvx, v0p, dvp)
-    gp = []
-    for gi in (g0, g1, g2):
-        gf = gi.reshape(-1).astype(jnp.float32)
-        if pad:
-            gf = jnp.concatenate([gf, jnp.zeros((pad,), gf.dtype)])
-        gp.append(gf)
-    _, core_bwd = _bilin_core_for(nvx)
-    dt, db = core_bwd(bq, xf, tsplit, gp[0], gp[1], gp[2], meta)
-    shape = jnp.shape(beta_q)
-    dT = dt[: Tcat.shape[0], : Tcat.shape[1]].astype(Tcat.dtype)
-    dbeta = db[:Q].reshape(shape).astype(beta_q.dtype)
-    # query cotangent from the forward-emitted derivatives (one multiply each)
-    gq = g0.reshape(-1) * d0[:Q] + g1.reshape(-1) * d1[:Q] + g2.reshape(-1) * d2[:Q]
-    dxq = gq.reshape(jnp.shape(xq)).astype(xq.dtype)
-    z = lambda a: jnp.zeros_like(a)
-    return dT, dbeta, dxq, z(v0x), z(dvx), z(v0p), z(dvp)
-
-
-chi_bilinear_lookup.defvjp(_bilin_vjp_fwd, _bilin_vjp_bwd)
+    return _chi_bilinear_lookup_for(int(nshards))(Tcat, beta_q, xq, v0x, dvx, v0p, dvp)
 
 
 def select_columns_linear(S, v0, dv, v_q):

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .partitioning import axis_partitioned
+
 QT = 512  # query lanes per program (Q padded to a multiple of this)
 _TWO_PI = 6.283185307179586
 
@@ -120,21 +122,7 @@ def _kernel(nvx, meta_ref, b_ref, x_ref, t_ref, *out_refs):
         out_refs[3 + si][0, 0] = ((f1 - f0) / dv * inside)[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("nvx", "interpret"))
-def chi_bilinear_pallas(bq, xq, tsplit, meta, nvx, interpret=False):
-    """Fused (row mix + column lerp) lookup of the three stacked chi tables.
-
-    Args:
-      bq: [B, Q] beta queries (radians, any range), Q % QT == 0.
-      xq: [B, Q] velocity-magnitude queries.
-      tsplit: [B, 2C, R] bf16 — transposed hi/lo split of the padded stacked
-        tables (build with ``tables_for_bilinear``).
-      meta: [B, 4] per-row (v0_vx, dvx, v0_pole, d_pole) traced scalars.
-      nvx: static velocity-grid size (defines the three column segments).
-
-    Returns:
-      (fe, dfe, chiR, d_fe/dxq, d_dfe/dxq, d_chiR/dxq) — each [B, Q].
-    """
+def _fwd_impl(bq, xq, tsplit, meta, nvx, interpret):
     B, Q = bq.shape
     nt = Q // QT
     b4 = bq.reshape(B, nt, 1, QT)
@@ -155,6 +143,39 @@ def chi_bilinear_pallas(bq, xq, tsplit, meta, nvx, interpret=False):
         interpret=interpret,
     )(meta3, b4, x4, tsplit)
     return tuple(o.reshape(B, Q) for o in outs)
+
+
+_fwd_cp = axis_partitioned(
+    _fwd_impl,
+    arg_dims=(1, 1, None, None),
+    out_dims=(1,) * 6,
+    rule="b q, b q, b c r, b m -> b q, b q, b q, b q, b q, b q",
+    static_argnums=(4, 5),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("nvx", "interpret"))
+def chi_bilinear_pallas(bq, xq, tsplit, meta, nvx, interpret=False):
+    """Fused (row mix + column lerp) lookup of the three stacked chi tables.
+
+    Args:
+      bq: [B, Q] beta queries (radians, any range), Q % QT == 0.
+      xq: [B, Q] velocity-magnitude queries.
+      tsplit: [B, 2C, R] bf16 — transposed hi/lo split of the padded stacked
+        tables (build with ``tables_for_bilinear``).
+      meta: [B, 4] per-row (v0_vx, dvx, v0_pole, d_pole) traced scalars.
+      nvx: static velocity-grid size (defines the three column segments).
+
+    Returns:
+      (fe, dfe, chiR, d_fe/dxq, d_dfe/dxq, d_chiR/dxq) — each [B, Q].
+
+    Partitions along the QUERY axis (dim 1) under a mesh — multi-chip ARTS
+    point sharding (ops.partitioning.axis_partitioned); tables and meta are
+    replicated, each device runs the kernel on its query shard.  The
+    per-shard Q must stay a QT multiple: ``interp._bilin_prepare`` pads to
+    QT * nshards.
+    """
+    return _fwd_cp(bq, xq, tsplit, meta, nvx, interpret)
 
 
 def _bwd_kernel(nvx, meta_ref, b_ref, x_ref, t_ref, g0_ref, g1_ref, g2_ref, dt_ref, db_ref):
@@ -221,14 +242,7 @@ def _bwd_kernel(nvx, meta_ref, b_ref, x_ref, t_ref, g0_ref, g1_ref, g2_ref, dt_r
         dt_ref[0] += part
 
 
-@functools.partial(jax.jit, static_argnames=("nvx", "interpret"))
-def chi_bilinear_pallas_bwd(bq, xq, tsplit, g0, g1, g2, meta, nvx, interpret=False):
-    """(dT [B, R, C], dbeta [B, Q]) for the fused bilinear lookup.
-
-    The query cotangent dxq is NOT computed here: the forward already emits
-    d(out_s)/dxq, so the caller forms dxq = sum_s g_s * der_s elementwise.
-    Pad queries with (beta=0, xq=v0) and cotangents with 0.
-    """
+def _bwd_impl(bq, xq, tsplit, g0, g1, g2, meta, nvx, interpret):
     B, Q = bq.shape
     two_c, R = tsplit.shape[1:]
     C = two_c // 2
@@ -259,6 +273,32 @@ def chi_bilinear_pallas_bwd(bq, xq, tsplit, g0, g1, g2, meta, nvx, interpret=Fal
         interpret=interpret,
     )(meta3, r4(bq), r4(xq), tsplit, r4(g0), r4(g1), r4(g2))
     return dt, db.reshape(B, Q)
+
+
+_bwd_cp = axis_partitioned(
+    _bwd_impl,
+    arg_dims=(1, 1, None, 1, 1, 1, None),
+    out_dims=(None, 1),
+    rule="b q, b q, b c r, b q, b q, b q, b m -> b r c, b q",
+    static_argnums=(7, 8),
+    psum_outs=(0,),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("nvx", "interpret"))
+def chi_bilinear_pallas_bwd(bq, xq, tsplit, g0, g1, g2, meta, nvx, interpret=False):
+    """(dT [B, R, C], dbeta [B, Q]) for the fused bilinear lookup.
+
+    The query cotangent dxq is NOT computed here: the forward already emits
+    d(out_s)/dxq, so the caller forms dxq = sum_s g_s * der_s elementwise.
+    Pad queries with (beta=0, xq=v0) and cotangents with 0.
+
+    Partitions along the query axis under a mesh: dbeta stays query-sharded;
+    the table cotangent dT sums contributions from every query shard, so the
+    per-shard lowering all-reduces it over the mesh axis (the ONE collective
+    in the sharded ARTS kernel path — [B, R, C] ≈ 780 KB per iteration).
+    """
+    return _bwd_cp(bq, xq, tsplit, g0, g1, g2, meta, nvx, interpret)
 
 
 def tables_for_bilinear(tcat):

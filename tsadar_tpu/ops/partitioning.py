@@ -26,6 +26,83 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 import jax
+from jax import lax
+
+
+def axis_partitioned(fn, arg_dims, out_dims, rule, static_argnums=(), psum_outs=()):
+    """Wrap ``fn`` with a single-shared-axis GSPMD partitioning rule.
+
+    Generalizes ``batch0_partitioned`` to an arbitrary sharded dim per
+    operand plus reduced outputs: the ARTS bilinear kernel shards its QUERY
+    axis (dim 1 of [B, Q] operands) while its backward's table cotangent
+    [B, R, C] sums contributions from every query shard — the per-shard
+    lowering runs the kernel on the local queries and ``lax.psum``s that
+    output over the mesh axis (legal here: custom_partitioning lowers the
+    supplied function in a fully-manual SPMD context, jax/_src/
+    custom_partitioning.py:193-200).
+
+    Args:
+      fn: the wrapped function; must be shape-polymorphic in the sharded dim.
+      arg_dims: per DYNAMIC positional arg, the dim index that shards (None
+        = replicated operand).
+      out_dims: per (flat) result, the dim index that shards (None =
+        replicated result).
+      rule: Shardy einsum-like sharding rule for the dynamic args.
+      static_argnums: positions (in ``fn``'s full signature) of static args.
+      psum_outs: indices into the flat results that the per-shard lowering
+        must all-reduce over the sharded mesh axis (their ``out_dims`` entry
+        should be None).
+
+    Returns a callable with ``fn``'s signature; with no sharded operands it
+    degrades to ``fn`` itself.
+    """
+    cp = custom_partitioning(fn, static_argnums=static_argnums)
+
+    def partition(*pargs):
+        static_args = pargs[: len(pargs) - 3]
+        mesh, arg_shapes, result_shape = pargs[-3:]
+
+        axis = None
+        for s, d in zip(arg_shapes, arg_dims):
+            if d is not None:
+                spec = s.sharding.spec
+                if len(spec) > d and spec[d] is not None:
+                    axis = spec[d]
+                    break
+
+        def mk(s, d):
+            nd = len(s.shape)
+            if d is not None and axis is not None:
+                spec = [None] * nd
+                spec[d] = axis
+                return NamedSharding(mesh, P(*spec))
+            return NamedSharding(mesh, P())
+
+        arg_sh = tuple(mk(s, d) for s, d in zip(arg_shapes, arg_dims))
+        flat_res, treedef = jax.tree.flatten(result_shape)
+        res_sh = jax.tree.unflatten(
+            treedef, [mk(s, d) for s, d in zip(flat_res, out_dims)]
+        )
+
+        def lower_fn(*dyn_args):
+            it = iter(dyn_args)
+            sts = iter(static_args)
+            n_total = len(dyn_args) + len(static_args)
+            full = [
+                next(sts) if i in static_argnums else next(it) for i in range(n_total)
+            ]
+            outs = fn(*full)
+            if axis is not None and psum_outs:
+                flat, tdef = jax.tree.flatten(outs)
+                for i in psum_outs:
+                    flat[i] = lax.psum(flat[i], axis)
+                outs = jax.tree.unflatten(tdef, flat)
+            return outs
+
+        return mesh, lower_fn, res_sh, arg_sh
+
+    cp.def_partition(partition=partition, sharding_rule=rule)
+    return cp
 
 
 def batch0_partitioned(fn, arg_batched, rule, static_argnums=()):
