@@ -345,10 +345,23 @@ def test_multi_device_fit_keeps_pallas_unless_opted_out():
 
 def test_pallas_interp_partitioned_matches_unsharded():
     """The fused interp kernels under a 2-device mesh (interpret mode via the
-    test hook) must be bit-exact vs the unsharded kernels AND vs the pure-XLA
-    lowering — forward and both cotangents, linear and cubic.  This exercises
-    the library-level dispatch (interp1d_*_blocked), the custom_vjp, the
-    custom_vmap lift, and the GSPMD partitioning rule together."""
+    test hook) must match the unsharded kernels AND the pure-XLA lowering —
+    forward and both cotangents, linear and cubic.  This exercises the
+    library-level dispatch (interp1d_*_blocked), the custom_vjp, the
+    custom_vmap lift, and the GSPMD partitioning rule together.
+
+    Tolerances are CPU-backend bf16-gemm roundoff (~2^-16 of scale): the
+    interpret-mode kernel and the XLA lowering run their bf16-split dots
+    through different gemm shapes/schedules, and accumulation order is
+    shape- and compile-dependent.  Pallas-vs-XLA BIT-exactness holds for the
+    Mosaic-compiled kernels on the chip (pinned by bench.py's on-chip
+    accuracy gate and the kernel wiring history in docs/performance.md),
+    not for interpret mode on CPU.
+
+    Each leg builds a FRESH jit: the dispatch flags (_PALLAS_ENABLED /
+    _PALLAS_INTERPRET) are Python globals invisible to the jit cache, so
+    reusing one jitted callable across contexts silently reuses the first
+    leg's executable."""
     from tsadar_tpu.core.physics import interp
     from tsadar_tpu.parallel import make_mesh
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -370,34 +383,34 @@ def test_pallas_interp_partitioned_matches_unsharded():
             out = jax.vmap(fn, in_axes=(0, None, 0))(xq_, x, f_)
             return jnp.sum(out * jnp.cos(jnp.arange(Q, dtype=jnp.float32))), out
 
-        vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1), has_aux=True))
+        def fresh_vg():
+            return jax.jit(jax.value_and_grad(loss, argnums=(0, 1), has_aux=True))
 
         # pure-XLA reference (Pallas off)
         with interp.pallas_disabled():
-            (l_ref, out_ref), (gq_ref, gf_ref) = vg(xq, f)
+            (l_ref, out_ref), (gq_ref, gf_ref) = fresh_vg()(xq, f)
 
         with interp.pallas_interpret_forced():
             # unsharded Pallas (interpret)
-            (l_u, out_u), (gq_u, gf_u) = vg(xq, f)
+            (l_u, out_u), (gq_u, gf_u) = fresh_vg()(xq, f)
             # sharded Pallas (interpret) — batch axis split 4 rows/device
             args_sh = jax.device_put((xq, f), shard)
-            (l_s, out_s), (gq_s, gf_s) = vg(*args_sh)
+            (l_s, out_s), (gq_s, gf_s) = fresh_vg()(*args_sh)
 
-        # Pallas kernels are bit-exact vs the XLA lowering (interp_kernel2)
-        assert_allclose(np.asarray(out_u), np.asarray(out_ref), rtol=0, atol=0)
-        assert_allclose(np.asarray(gf_u), np.asarray(gf_ref), rtol=0, atol=0)
-        # sharded == unsharded up to bf16-split roundoff: the shard-local
-        # matmul has a different shape, and the CPU backend's bf16 gemm
-        # accumulation order is shape- (and compile-) dependent, so the lo
-        # split term rounds differently (~2^-16 relative).  On TPU the
-        # per-shard Mosaic program is the single-device kernel at a smaller
-        # grid — same dot shapes per tile.
-        tol = dict(rtol=2e-4, atol=1e-4 * float(np.max(np.abs(out_u))))
-        assert_allclose(np.asarray(out_s), np.asarray(out_u), **tol)
-        assert_allclose(np.asarray(gq_s), np.asarray(gq_u), rtol=2e-4,
-                        atol=1e-4 * float(np.max(np.abs(gq_u))))
-        assert_allclose(np.asarray(gf_s), np.asarray(gf_u), rtol=2e-4,
-                        atol=1e-4 * float(np.max(np.abs(gf_u))))
+        def close(a, b, msg):
+            scale = float(np.max(np.abs(np.asarray(b)))) or 1.0
+            assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                            atol=1e-4 * scale, err_msg=msg)
+
+        # Pallas (interpret) vs the XLA lowering: same math, roundoff only
+        close(out_u, out_ref, "pallas-vs-xla out")
+        close(gq_u, gq_ref, "pallas-vs-xla gq")
+        close(gf_u, gf_ref, "pallas-vs-xla gf")
+        # sharded vs unsharded Pallas: the partitioning rule is pure
+        # data-parallel decomposition, same roundoff class
+        close(out_s, out_u, "sharded out")
+        close(gq_s, gq_u, "sharded gq")
+        close(gf_s, gf_u, "sharded gf")
         # the scalar loss reduces per-shard then all-reduces — a different
         # summation ORDER than the single-device sum (f32 roundoff only)
         assert_allclose(float(l_s), float(l_u), rtol=1e-5)

@@ -1285,8 +1285,12 @@ class FormFactor:
         from .interp import pallas_enabled, pallas_interpret_active
 
         # interpret-forced: CPU test meshes exercise the full TPU table path
-        # (rowmix/kernel dispatch incl. the query-sharded partitioning rule)
-        if jax.default_backend() == "tpu" or pallas_interpret_active():
+        # (rowmix/kernel dispatch incl. the query-sharded partitioning rule).
+        # f32-gated like interp._use_pallas2 — the kernels' bf16-split tables
+        # would silently degrade an f64 CPU evaluation.
+        if jax.default_backend() == "tpu" or (
+            pallas_interpret_active() and f1d.dtype == jnp.float32
+        ):
             # gather-free: one fractional-two-hot row contraction over the
             # stacked (f1d | df1d | chiR) tables beta-interpolates all three at
             # once; the v-axis selection is elementwise iota-compare work.

@@ -73,8 +73,9 @@ def _pallas_ctx(mesh, config=None):
     interp kernels therefore carry an explicit leading-batch-dim rule
     (``ops.partitioning.batch0_partitioned``): each device runs the kernel on
     its lineout shard, no collectives.  Multi-device fits keep Pallas by
-    default; sharded-vs-unsharded bit-exactness is pinned in
-    ``test_parallel/test_sharding.py``.
+    default; sharded-vs-unsharded equivalence (to bf16-accumulation
+    roundoff — NOT bit-exact, accumulation order is shape-dependent) is
+    pinned in ``test_parallel/test_sharding.py``.
 
     ``optimizer.pallas_sharded: false`` opts back into the pure-XLA lowerings
     for multi-device meshes (identical math — see
