@@ -17,6 +17,7 @@ from jax import numpy as jnp, vmap
 
 from .physics import irf
 from .physics.spectrum import SpectrumModel
+from ..utils.console import log_info
 
 
 class ThomsonScatteringDiagnostic:
@@ -127,7 +128,7 @@ class ThomsonScatteringDiagnostic:
                     if len(peaks) > 1:
                         out[i, peaks[order[-2]]] = 1.0
                 except (ValueError, IndexError):
-                    print("Unable to locate peak; IRF may not be plotted")
+                    log_info("Unable to locate peak; IRF may not be plotted")
             return jnp.asarray(out)
 
         eIRF = _irf_deltas(np.atleast_2d(np.asarray(modlE))) if self.cfg["other"]["extraoptions"]["load_ele_spec"] else jnp.zeros_like(modlE)

@@ -15,6 +15,7 @@ import pandas as pd
 from ..utils import mlflow_shim as mlflow
 from ..utils.process import prepare, postprocess
 from .loops import angular_optax, one_d_loop
+from ..utils.console import log_info
 
 
 def _lineout_selection(config: Dict) -> Dict:
@@ -25,7 +26,7 @@ def _lineout_selection(config: Dict) -> Dict:
     batch_size = config["optimizer"]["batch_size"]
     remainder = len(pixels) % batch_size
     if remainder:
-        print(
+        log_info(
             f"batch size {batch_size} does not divide the {len(pixels)} requested "
             f"lineouts; dropping the final {remainder}"
         )
@@ -72,7 +73,7 @@ def fit(config) -> Tuple[pd.DataFrame, float]:
 
     stage_start = time.time()
     mlflow.set_tag("status", "minimizing")
-    print("minimizing")
+    log_info("minimizing")
     if "angular" in config["other"]["extraoptions"]["spectype"]:
         fitted_weights, overall_loss, loss_fn = angular_optax(config, all_data, sa)
     else:
@@ -81,6 +82,6 @@ def fit(config) -> Tuple[pd.DataFrame, float]:
     mlflow.log_metrics({"fit_time": round(time.time() - stage_start, 2)})
 
     mlflow.set_tag("status", "postprocessing")
-    print("postprocessing")
+    log_info("postprocessing")
     final_params = postprocess.postprocess(config, sample_indices, all_data, all_axes, loss_fn, sa, fitted_weights)
     return final_params, float(overall_loss)

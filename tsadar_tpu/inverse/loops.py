@@ -30,6 +30,7 @@ from ..core.params import ThomsonParams, get_filter_spec, partition, combine
 from ..parallel import make_mesh, shard_batch, shard_params_batch_axis
 from ..utils import mlflow_shim as mlflow
 from .loss import LossFunction
+from ..utils.console import log_info
 
 
 def _fit_mesh(config):
@@ -325,7 +326,7 @@ def one_d_loop(
     loss_fn = LossFunction(config, sa, _slice_batch(all_data, slice(0, config["optimizer"]["batch_size"])))
     mesh = _fit_mesh(config)
     if mesh is not None:
-        print(f"lineout batch data-parallel over {mesh.devices.size} devices")
+        log_info(f"lineout batch data-parallel over {mesh.devices.size} devices")
 
     batch_indices = np.reshape(batch_indices, (-1, config["optimizer"]["batch_size"]))
     all_weights, overall_loss, previous_weights = [], 0.0, None
@@ -384,7 +385,7 @@ def angular_optax(config, all_data, sa):
 
         diff_params, opt_state, start_epoch = restore_checkpoint(ckpt_dir, diff_params, opt_state)
         if start_epoch:
-            print(f"resumed angular fit from checkpoint at epoch {start_epoch}")
+            log_info(f"resumed angular fit from checkpoint at epoch {start_epoch}")
 
     # TPU-first loop structure: run the epochs as jitted lax.scan chunks with
     # the best-so-far (loss, params) tracked ON DEVICE, and sync the chunk's
@@ -445,7 +446,7 @@ def angular_optax(config, all_data, sa):
                 if improvement < 1e-6:
                     stalled_epochs += 1
                     if stalled_epochs > 5:
-                        print("Minimizer exited due to change in loss < 1e-6")
+                        log_info("Minimizer exited due to change in loss < 1e-6")
                         stop = True
                         n_counted = j + 1
                         break
@@ -454,7 +455,7 @@ def angular_optax(config, all_data, sa):
             elif epoch_loss > best_loss:
                 rising_epochs += 1
                 if rising_epochs > 5:
-                    print("Minimizer exited due to increase in loss")
+                    log_info("Minimizer exited due to increase in loss")
                     stop = True
                     n_counted = j + 1
                     break

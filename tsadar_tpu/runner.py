@@ -16,6 +16,7 @@ from .inverse import fitter
 from .utils import mlflow_shim as mlflow
 from .utils.config import merge_configs
 from .utils.schema import validate_config
+from .utils.console import log_info
 
 BASE_TEMPDIR = os.environ.get("BASE_TEMPDIR", None)
 
@@ -78,7 +79,7 @@ def _run_(config: Dict, mode: str = "fit"):
 
         trace_dir = os.path.join(os.getcwd(), "jax_trace")
         profile_ctx = jax.profiler.trace(trace_dir)
-        print(f"profiling to {trace_dir}")
+        log_info(f"profiling to {trace_dir}")
 
     with profile_ctx:
         if mode.casefold() == "fit":

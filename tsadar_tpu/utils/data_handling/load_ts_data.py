@@ -15,6 +15,7 @@ import numpy as np
 from scipy.signal import find_peaks
 
 from .hdf4 import read_sds
+from ..console import log_info
 from ..process.warpcorr import (
     EPW5_COMB_ROWS,
     _COMB_PROMINENCE,
@@ -106,7 +107,7 @@ def _notch_target_row(sNum, shape):
         _, _, axisyE, _, _, _ = get_calibrations(int(sNum), "temporal", [0.0, 0.0], list(shape))
         return float(np.interp(_NOTCH_LAMBDA, np.asarray(axisyE).ravel(), np.arange(shape[0])))
     except Exception as e:
-        print(f"notch target row unavailable ({e}); using relative spectral anchoring")
+        log_info(f"notch target row unavailable ({e}); using relative spectral anchoring")
         return None
 
 
@@ -141,7 +142,7 @@ def loadData(sNum, sDay, loadspecs, custom_path=None):
             elif want_t0:
                 t0[0] = _fiducial_t0(iDat, "iaw")
         except Exception as e:
-            print(f"Unable to find IAW ({e})")
+            log_info(f"Unable to find IAW ({e})")
             iDat = []
             loadspecs["load_ion_spec"] = False
 
@@ -171,9 +172,9 @@ def loadData(sNum, sDay, loadspecs, custom_path=None):
                 try:
                     t0[1] = _fiducial_t0(eDat, "epw")
                 except Exception:
-                    print("Fiducial timing encountered an error, default timing is being used")
+                    log_info("Fiducial timing encountered an error, default timing is being used")
         except Exception as e:
-            print(f"Unable to find EPW ({e})")
+            log_info(f"Unable to find EPW ({e})")
             eDat = []
             loadspecs["load_ele_spec"] = False
 

@@ -24,6 +24,7 @@ import tempfile
 import time
 
 from . import mlflow_shim as mlflow
+from .console import log_info
 
 DEFAULT_BUCKET = "remote-mlflow-staging"  # reference misc.py:124
 
@@ -98,7 +99,7 @@ def export_run(run_id, prefix="ingest", step=0, bucket=DEFAULT_BUCKET):
     t0 = time.time()
     with tempfile.TemporaryDirectory(dir=os.getenv("BASE_TEMPDIR")) as td:
         _export_run_dir(run_id, td)
-        print(f"Export took {round(time.time() - t0, 2)} s")
+        log_info(f"Export took {round(time.time() - t0, 2)} s")
         t0 = time.time()
         upload_dir_to_s3(td, bucket, f"artifacts/{run_id}", run_id, prefix=prefix, step=step)
-    print(f"Uploading took {round(time.time() - t0, 2)} s")
+    log_info(f"Uploading took {round(time.time() - t0, 2)} s")

@@ -24,6 +24,7 @@ from scipy.ndimage import convolve1d, uniform_filter
 
 from ..data_handling.load_ts_data import loadData
 from .correct_throughput import correctThroughput
+from ..console import log_info
 
 # Streak-camera column windows (pixels). The fit window skips the timing
 # fiducials (top/bottom combs) and the notch-filter shadow; the rescale window
@@ -165,7 +166,7 @@ def get_shot_bg(config, shotNum, axisyE, elecData):
         row = ARTS_GAIN_FIT_ROW
         residual = lambda coef: np.sum((elecData[row, :] - quad_gain(coef) * smoothed[row, :]) ** 2)
         best = spopt.minimize(residual, list(ARTS_GAIN_FIT_SEED))
-        print("Angular background corrected with polynomial model")
+        log_info("Angular background corrected with polynomial model")
         return quad_gain(best.x) * smoothed, 0
 
     return 0, 0

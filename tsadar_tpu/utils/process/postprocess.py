@@ -24,6 +24,7 @@ from ...inverse.loss import LossFunction
 from .. import mlflow_shim as mlflow
 from ..config import flatten, unflatten
 from ..plotting import plotters
+from ..console import log_info
 
 
 def recalculate_with_chosen_weights(
@@ -85,7 +86,7 @@ def recalculate_with_chosen_weights(
                 )
                 sigmas = get_sigmas(hess, 1)
             except Exception as e:
-                print(f"Error calculating angular Hessian ({e}); skipping uncertainties")
+                log_info(f"Error calculating angular Hessian ({e}); skipping uncertainties")
                 calc_sigma = False
     else:
         for i_batch, inds in enumerate(batch_indices):
@@ -141,14 +142,14 @@ def recalculate_with_chosen_weights(
                         np.asarray(lamI_raw)
                     )
                 except Exception as e:
-                    print(f"detailed breakdown failed ({e}); continuing")
+                    log_info(f"detailed breakdown failed ({e}); continuing")
 
             if calc_sigma:
                 try:
                     hess = batch_flat_hessian(config, loss_fn, fitted_weights[i_batch], batch)
                     sigmas[inds] = get_sigmas(hess, config["optimizer"]["batch_size"])
                 except Exception as e:
-                    print(f"Error calculating Hessian ({e}); skipping uncertainties")
+                    log_info(f"Error calculating Hessian ({e}); skipping uncertainties")
                     calc_sigma = False
 
     return losses, sqdevs, num_params, fits, sigmas, all_params

@@ -21,6 +21,7 @@ from .correct_throughput import correctThroughput
 from .evaluate_background import get_shot_bg
 from .feature_detector import first_guess
 from .lineouts import get_lineouts
+from ..console import log_info
 
 # CCD counts of 0 break log/variance-weighted losses downstream; offset all
 # corrected images by a fraction of a count.
@@ -119,11 +120,11 @@ def _trim_to_batch_multiple(config):
     values = config["data"]["lineouts"]["val"]
     remainder = len(values) % config["optimizer"]["batch_size"]
     if remainder:
-        print(f"total slices: {len(values)}")
-        print(
+        log_info(f"total slices: {len(values)}")
+        log_info(
             f"batch size = {config['optimizer']['batch_size']} is not a round divisor of the number of lineouts"
         )
-        print(f"final {remainder} lineouts have been removed")
+        log_info(f"final {remainder} lineouts have been removed")
         config["data"]["lineouts"]["val"] = values[:-remainder]
 
 
@@ -177,11 +178,11 @@ def prepare_data(config: Dict, shotNum: int):
     # A channel that did not load cannot be fit.
     if not opts["load_ion_spec"]:
         opts["fit_IAW"] = 0
-        print("IAW data not loaded, omitting IAW fit")
+        log_info("IAW data not loaded, omitting IAW fit")
     if not opts["load_ele_spec"]:
         opts["fit_EPWb"] = 0
         opts["fit_EPWr"] = 0
-        print("EPW data not loaded, omitting EPW fit")
+        log_info("EPW data not loaded, omitting EPW fit")
 
     if opts["load_ele_spec"]:
         elecData = correctThroughput(elecData, opts["spectype"], axisyE, shotNum) + _ZERO_COUNT_OFFSET

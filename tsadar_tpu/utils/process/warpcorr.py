@@ -35,6 +35,7 @@ full calibration-grid measurement.
 import os
 
 import numpy as np
+from ..console import log_info
 
 _EXTERNAL = os.path.join(os.path.dirname(__file__), "..", "..", "external")
 
@@ -53,7 +54,7 @@ def _load_warp_maps(instrument="EPW", sweepSpeed=5):
     if not (os.path.exists(xp) and os.path.exists(yp)):
         return None, None
     if sweepSpeed != 5:
-        print("no specific data available for this sweep speed - using 5ns dewarp")
+        log_info("no specific data available for this sweep speed - using 5ns dewarp")
     return np.load(xp), np.load(yp)
 
 
@@ -275,29 +276,29 @@ def perform_warp_correction(
                 try:
                     notch_target_row = notch_target_row()
                 except Exception as e:
-                    print(f"warpcorr: spectral anchor unavailable ({e}); relative anchoring")
+                    log_info(f"warpcorr: spectral anchor unavailable ({e}); relative anchoring")
                     notch_target_row = None
             try:
                 maps = reconstruct_warp_from_fiducials(
                     np.asarray(warpedData), notch_target_row=notch_target_row
                 )
             except Exception as e:
-                print(f"warpcorr: fiducial reconstruction failed ({e}); continuing without it")
+                log_info(f"warpcorr: fiducial reconstruction failed ({e}); continuing without it")
                 maps = None
             if maps is not None:
                 _FIDUCIAL_MAPS_CACHE[key] = (maps, notch_target_row)
-                print("warpcorr: using fiducial-reconstructed warp (comb + notch tracers)")
+                log_info("warpcorr: using fiducial-reconstructed warp (comb + notch tracers)")
                 return _forward_splat(np.asarray(warpedData, dtype=float), *maps)
             cached = _FIDUCIAL_MAPS_CACHE.get(key)
             if cached is not None and _anchors_match(cached[1], notch_target_row):
-                print(
+                log_info(
                     "warpcorr: tracers not found in this frame (background shot?); "
                     "reusing the maps reconstructed from the signal frame"
                 )
                 return _forward_splat(np.asarray(warpedData, dtype=float), *cached[0])
-            print("warpcorr: fiducial tracers not found; returning data without dewarp")
+            log_info("warpcorr: fiducial tracers not found; returning data without dewarp")
             return warpedData
-        print(
+        log_info(
             "warpcorr: warp maps unavailable (missing from reference snapshot); "
             "returning data without dewarp"
         )
