@@ -49,6 +49,24 @@ def test_loss_functional_formulas():
         loss_fn.loss_functionals(d, t, u, "huber")
 
 
+def test_masked_reduce_handles_unbatched_spectra():
+    """mean_axis1 must treat a 1-D ([L]) spectrum as a single lineout row —
+    calc_ei_error's row init anticipates ndim==1 (zeros(1)) and the scalar
+    'mean'/'sum' reducers support it, so the row reducer must too."""
+    from tsadar_tpu.inverse.loss import _masked_reduce
+
+    err = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    mask = jnp.asarray([True, True, False, True])
+    row = _masked_reduce(err, mask, "mean_axis1")
+    assert row.shape == (1,)
+    assert_allclose(row, [(1.0 + 2.0 + 4.0) / 3.0])
+    # and the batched case is unchanged
+    err2 = jnp.stack([err, 2 * err])
+    row2 = _masked_reduce(err2, mask, "mean_axis1")
+    assert row2.shape == (2,)
+    assert_allclose(row2, [(7.0) / 3.0, 14.0 / 3.0])
+
+
 def test_poisson_functional_survives_zero_theory():
     """The log floor must not underflow in the working dtype (f32 landmine)."""
     loss_fn, *_ = _loss_setup()

@@ -116,12 +116,16 @@ def _batched_leaf_mask(config, diff_params, static_params):
     )
 
 
-def _shard_fit_state(mesh, config, batch, diff_params, static_params):
-    """Place the batch + per-lineout parameter leaves over the fit mesh."""
+def _shard_fit_state(mesh, config, batch, diff_params, static_params, masks=None):
+    """Place the batch + per-lineout parameter leaves over the fit mesh.
+
+    ``masks`` lets callers that already built the batched-leaf masks (the
+    per-lineout best tracker) pass them in instead of rebuilding the
+    reference ThomsonParams per batch iteration."""
     if mesh is None:
         return batch, diff_params, static_params
     bs = config["optimizer"]["batch_size"]
-    mask_diff, mask_static = _batched_leaf_mask(config, diff_params, static_params)
+    mask_diff, mask_static = masks if masks is not None else _batched_leaf_mask(config, diff_params, static_params)
     return (
         shard_batch(batch, mesh),
         shard_params_batch_axis(diff_params, mesh, bs, batched_mask=mask_diff),
@@ -199,13 +203,6 @@ def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch:
     opt = optax.adam(config["optimizer"]["learning_rate"])
     ts_params = _init_params(config, previous_weights)
     diff_params, static_params = partition(ts_params, get_filter_spec(config["parameters"], ts_params))
-    batch, diff_params, static_params = _shard_fit_state(mesh, config, batch, diff_params, static_params)
-    opt_state = opt.init(diff_params)
-
-    num_epochs = config["optimizer"]["num_epochs"]
-    if num_epochs == 0:
-        return np.inf, ts_params
-
     # TPU-first extension beyond the reference: `optimizer.track_best:
     # per_lineout` keeps each LINEOUT's best-so-far parameters independently
     # (per-row masked-mean losses come back in the loss aux at no extra model
@@ -214,8 +211,18 @@ def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch:
     # leaves select by their row's loss; any shared leaves follow the scalar
     # rule.  Default "overall" preserves the reference's association exactly.
     per_lineout = config["optimizer"].get("track_best", "overall") == "per_lineout"
+    # the masks depend only on config + leaf shapes (sharding preserves
+    # shapes), so build them once and share between sharding + best tracking
+    masks = _batched_leaf_mask(config, diff_params, static_params) if (per_lineout or mesh is not None) else None
+    batch, diff_params, static_params = _shard_fit_state(mesh, config, batch, diff_params, static_params, masks=masks)
+    opt_state = opt.init(diff_params)
+
+    num_epochs = config["optimizer"]["num_epochs"]
+    if num_epochs == 0:
+        return np.inf, ts_params
+
     if per_lineout:
-        row_mask, _ = _batched_leaf_mask(config, diff_params, static_params)
+        row_mask = masks[0]
         n_rows = np.shape(batch["e_data"])[0]
 
     def one_step(dp, state, best_loss, best_dp, best_rows):

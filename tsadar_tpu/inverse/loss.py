@@ -36,8 +36,10 @@ def _masked_reduce(err, mask, reduce_func):
     if reduce_func == "sum":
         return jnp.sum(jnp.where(mask, err, 0.0))
     if reduce_func == "mean_axis1":
-        bmask = jnp.broadcast_to(mask, err.shape)
-        num = jnp.sum(jnp.where(bmask, err, 0.0), axis=1)
+        # unbatched ([L]) spectra are one row so callers can always index a
+        # leading lineout axis (matches the zeros(1) row init in calc_ei_error)
+        bmask = jnp.atleast_2d(jnp.broadcast_to(mask, err.shape))
+        num = jnp.sum(jnp.where(bmask, jnp.atleast_2d(err), 0.0), axis=1)
         den = jnp.sum(bmask, axis=1)
         return num / jnp.maximum(den, 1)
     raise NotImplementedError(reduce_func)
