@@ -76,3 +76,22 @@ def test_plot_ts_data_produces_reference_artifact_set(tmp_path):
     variables, coords = read_dataset(os.path.join(td, "binary", "ele_fit_and_data.nc"))
     np.testing.assert_allclose(variables["data"], data)
     np.testing.assert_allclose(coords["Time (ps)"], all_axes["epw_x"][pix])
+
+
+def test_axis_for_lineout_indexes_per_lineout_rows():
+    """The detailed-breakdown axis store must return EACH lineout's own
+    wavelength axis when lam is fitted per-lineout (advisor finding: the
+    component overlay used lineout 0's axis for every pick)."""
+    from tsadar_tpu.utils.plotting.plotters import _axis_for_lineout
+
+    axes = np.stack([np.linspace(400 + 10 * i, 700 + 10 * i, 8) for i in range(3)])
+    # dict form keyed by batch indices (the postprocess producer)
+    store = {(4, 5, 6): axes}
+    np.testing.assert_array_equal(_axis_for_lineout(store, 5), axes[1])
+    np.testing.assert_array_equal(_axis_for_lineout(store, 6), axes[2])
+    assert _axis_for_lineout(store, 99) is None
+    # legacy single-array form: batched rows index by global lineout
+    np.testing.assert_array_equal(_axis_for_lineout(axes, 2), axes[2])
+    np.testing.assert_array_equal(_axis_for_lineout(axes[0], 2), axes[0])  # shared axis
+    np.testing.assert_array_equal(_axis_for_lineout(axes, 7), axes[0])  # out of range -> row 0
+    assert _axis_for_lineout(None, 0) is None

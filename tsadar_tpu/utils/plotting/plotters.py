@@ -237,7 +237,11 @@ def _axis_for_lineout(axis_store, lineout):
                 return ax
         return None
     ax = np.asarray(axis_store)  # legacy single-array form
-    return ax.reshape(-1, ax.shape[-1])[0] if ax.ndim > 1 else ax
+    if ax.ndim > 1:
+        rows = ax.reshape(-1, ax.shape[-1])
+        # batched rows are per-lineout when lam is fitted per-lineout
+        return rows[lineout] if lineout < rows.shape[0] else rows[0]
+    return ax
 
 
 def detailed_lineouts(config, all_data, all_axes, fits, losses, red_losses, sqdevs, td):
