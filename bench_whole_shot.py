@@ -127,8 +127,12 @@ def main():
     fit_time = time.time() - t0
     values = [float(v) for chunk_vals in values for v in np.asarray(chunk_vals)]
 
+    # per-lineout losses in the SAME units as final_loss (the y_norm'd masked
+    # means that __loss__ averages over the batch) — NOT post_loss's
+    # theory-normalized refit metric, which lives in different units
+    _, (_, _, row_loss) = loss_fn._loss_(dp, static, batch)
+    row_loss = np.asarray(jax.device_get(row_loss))
     final = combine(dp, static)
-    per_lineout_loss, *_ = loss_fn.array_loss(final, batch)
 
     # fit-quality check: compare recovered parameters at the lineouts covered by
     # the historically-validated single-batch CPU fit (tests/test_inverse/
@@ -154,6 +158,9 @@ def main():
         "m": all(abs(v - 3.20) / 3.20 <= 0.15 for v in m),
         "covered": len(sel) > 0,
         "final_loss": float(values[-1]) < 1e-3,
+        # median lineout must sit under the same ceiling as the batch mean;
+        # the worst lineout is reported unguarded (edge pixels fit worse)
+        "lineout_median": float(np.median(row_loss)) < 1e-3,
         "fit_time": fit_time < 60.0,
     }
     quality_ok = all(gates.values())
@@ -169,7 +176,8 @@ def main():
                 "fit_time_s": round(fit_time, 2),
                 "initial_loss": float(values[0]),
                 "final_loss": float(values[-1]),
-                "median_per_lineout_loss": float(np.median(np.asarray(per_lineout_loss))),
+                "median_per_lineout_loss": float(np.median(row_loss)),
+                "worst_per_lineout_loss": float(np.max(row_loss)),
                 "quality_ok": quality_ok,
             }
             | quality

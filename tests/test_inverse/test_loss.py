@@ -102,6 +102,57 @@ def test_moment_penalties_zero_for_normalized_maxwellian():
     assert float(density2) > 1e-1 and float(temperature2) > 1e-1
 
 
+def test_moment_penalties_2v_zero_for_normalized_isotropic():
+    """2V branch (reference loss_function.py:523-576): the moments of a
+    normalized unit-variance-per-dim isotropic EDF are exactly on target."""
+    loss_fn, *_ = _loss_setup()
+    loss_fn.cfg["parameters"]["electron"]["fe"]["dim"] = 2
+    n = 401
+    dv = 12.0 / n
+    v = jnp.linspace(-6.0 + dv / 2, 6.0 - dv / 2, n)
+    fe = jnp.exp(-(v[:, None] ** 2 + v[None, :] ** 2) / 2) / (2 * jnp.pi)
+    density, temperature, momentum = loss_fn.moment_penalties({"electron": {"fe": fe, "v": v}})
+    assert float(density) < 1e-8
+    assert float(temperature) < 1e-8
+    assert float(momentum) < 1e-20
+    # an over-dense anisotropically-shifted EDF is penalized in every moment
+    fe_bad = 2.0 * jnp.exp(-((v[:, None] - 1.0) ** 2 + v[None, :] ** 2) / 2) / (2 * jnp.pi)
+    density2, temperature2, momentum2 = loss_fn.moment_penalties({"electron": {"fe": fe_bad, "v": v}})
+    assert float(density2) > 0.5
+    assert float(temperature2) > 0.5
+    assert float(momentum2) > 0.5
+
+
+def test_bound_penalty_fires_out_of_bounds():
+    """Log-based bound penalty (reference loss_function.py:436-442): zero for
+    normed params inside [0, 1], positive and growing outside."""
+    cfg = _small_config(BATCH)
+    sas = get_scattering_angles(cfg)
+    batch = _make_batch(BATCH)
+    loss_fn = LossFunction(cfg, sas, batch)
+    # activate=False keeps the normed leaves in plain [0,1] space
+    ts = ThomsonParams.create(cfg["parameters"], num_params=BATCH, batch=True, activate=False)
+    assert float(loss_fn.bound_penalty(ts)) == pytest.approx(0.0, abs=1e-12)
+    ts.electron.params.normed["Te"] = jnp.full(BATCH, 1.7)
+    pen_hi = float(loss_fn.bound_penalty(ts))
+    assert pen_hi == pytest.approx(BATCH * np.log(1.7), rel=1e-6)
+    ts.electron.params.normed["Te"] = jnp.full(BATCH, -0.9)
+    assert float(loss_fn.bound_penalty(ts)) == pytest.approx(BATCH * np.log(1.9), rel=1e-6)
+
+
+def test_bound_penalty_connects_via_config_flag():
+    loss_fn_off, diff, static, batch = _loss_setup()
+    loss_fn_on, *_ = _loss_setup(**{"optimizer.bound_penalty": True})
+    base = float(jax.jit(loss_fn_off.__loss__)(diff, static, batch)[0])
+    with_pen = float(jax.jit(loss_fn_on.__loss__)(diff, static, batch)[0])
+    # in-bounds initialization: the penalty engages but contributes ~0
+    assert with_pen == pytest.approx(base, rel=1e-10)
+    # and the gradient path stays finite with the flag on
+    (value, _), grad = jax.jit(jax.value_and_grad(loss_fn_on.__loss__, has_aux=True))(diff, static, batch)
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grad))
+    assert np.isfinite(float(value)) and np.isfinite(gnorm)
+
+
 def test_penalties_connect_via_config_flags():
     """The reference computes penalties but hard-disconnects them
     (loss_function.py:337); here the flags actually engage them."""

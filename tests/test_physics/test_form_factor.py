@@ -140,6 +140,18 @@ def test_2v_table_matches_exact():
     p = _params(f2, vx2)
     St, _ = jax.jit(ff_tab.calc_in_2D)(p)
     Se, _ = jax.jit(ff_ex.calc_in_2D)(p)
+    # Tolerance rationale (the two modes differ by DESIGN, not by bug): exact
+    # mode interpolates f/df per evaluation point from a bicubic EDF rotation
+    # at each of 256 beta angles with its own O(dv^2) error, while table mode
+    # projects once per angle via the central-slice NUDFT — measured ~20x
+    # closer to the direct-rotation truth than the old FFT+bilinear sampling
+    # (test_nudft_projection_matches_rotation pins <5e-4 of projection scale)
+    # — then linearly interpolates chi over the (beta, xi) table (rowmix
+    # agreement 2.4e-6 of peak, test_interp.py). The dominant residual is
+    # therefore exact mode's per-point rotation interpolation on this coarse
+    # nv=64 grid, not the table; 2e-2 relative / 2e-3 of peak bounds that
+    # discretization gap, and tightening it requires a finer EDF grid, not a
+    # better table.
     assert_allclose(np.asarray(St), np.asarray(Se), rtol=2e-2, atol=2e-3 * float(jnp.max(Se)))
 
 

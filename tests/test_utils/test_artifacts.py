@@ -93,5 +93,5 @@ def test_axis_for_lineout_indexes_per_lineout_rows():
     # legacy single-array form: batched rows index by global lineout
     np.testing.assert_array_equal(_axis_for_lineout(axes, 2), axes[2])
     np.testing.assert_array_equal(_axis_for_lineout(axes[0], 2), axes[0])  # shared axis
-    np.testing.assert_array_equal(_axis_for_lineout(axes, 7), axes[0])  # out of range -> row 0
+    assert _axis_for_lineout(axes, 7) is None  # out of range -> skip overlay, not row 0
     assert _axis_for_lineout(None, 0) is None

@@ -179,7 +179,7 @@ class LossFunction:
             )
 
         ion_error = self.cfg["data"]["ion_loss_scale"] * i_error
-        penalty_error = self.penalties(ts_params())
+        penalty_error = self.penalties(ts_params(), ts_params)
         total_loss = ion_error + e_error + penalty_error
         # per-lineout losses for on-device best tracking; the (global) penalty
         # term is deliberately excluded from the per-row selection criterion
@@ -239,7 +239,7 @@ class LossFunction:
 
     # -------------------------------------------------------------- penalties
 
-    def penalties(self, params):
+    def penalties(self, params, ts_module=None):
         """Optional regularization terms (reference loss_function.py:420-463).
 
         The reference computes these but leaves them disconnected
@@ -247,6 +247,8 @@ class LossFunction:
         corresponding config flags are set and contribute 0 otherwise.
         """
         total = 0.0
+        if self.cfg["optimizer"].get("bound_penalty", False) and ts_module is not None:
+            total = total + self.bound_penalty(ts_module)
         if self.cfg["optimizer"].get("moment_loss", False):
             density_loss, temperature_loss, momentum_loss = self.moment_penalties(params)
             total = total + density_loss + temperature_loss + momentum_loss
@@ -259,11 +261,59 @@ class LossFunction:
             total = total + jnp.tan(jnp.minimum(vals, jnp.pi / 2 - 1e-3))
         return total
 
+    def bound_penalty(self, ts_module):
+        """Log-based out-of-bounds penalty on the normalized scalar parameters
+        (reference loss_function.py:436-442; disconnected upstream at :337).
+
+        Normalized in-bounds values lie in [0, 1], so ``|w - 0.5| + 0.5 <= 1``
+        and the log is <= 0 — relu'd to zero; outside the bounds the penalty
+        grows like ``log|w|``. Applied to every ``params.normed`` leaf
+        (Te/ne, per-species Ti/Z/fract, all general params) and not to the EDF
+        values, matching the reference's ``k != "fe"`` exclusion. Activated
+        (sigmoid) parameters are measured in their activated [0, 1] space —
+        their raw leaves live in logit space, where the raw reference formula
+        would fire spuriously — so the penalty is a no-op guard there.
+        """
+        from ..core.params.distributions import act
+
+        groups = [ts_module.electron.params, ts_module.general.params] + [
+            ion.params for ion in ts_module.ions
+        ]
+        total = 0.0
+        for g in groups:
+            for i, name in enumerate(g.names):
+                w = act(g.normed[name], g.activated[i])
+                total = total + jnp.sum(jnp.maximum(0.0, jnp.log(jnp.abs(w - 0.5) + 0.5)))
+        return total
+
     def moment_penalties(self, params):
-        """Density/temperature/momentum moment losses for 1V EDFs
-        (reference loss_function.py:465-576; disconnected by default there too)."""
+        """Density/temperature/momentum moment losses
+        (reference loss_function.py:465-576; disconnected by default there too).
+
+        Unlike the reference, this build's param dict carries the *physical*
+        EDF (the reference stores log-fe and exponentiates here), so the
+        moments integrate ``fe`` directly. The 2V branch mirrors the
+        reference's dim==2 arm (loss_function.py:523-576): zeroth moment
+        sum(fe)·dv², second moment sum(fe·|v|²)·dv² gated against 2 (unit
+        variance per velocity dimension). The reference leaves the 2V momentum
+        term dead (``momentum_loss = 0.0`` at :574 after an unused trapz
+        expression); here the first moment is implemented for both components
+        — it vanishes for any symmetric/isotropic EDF, preserving behavior on
+        every distribution the reference could actually fit.
+        """
         fe = params["electron"]["fe"]
         v = params["electron"]["v"]
+        if self.cfg["parameters"]["electron"]["fe"].get("dim", 1) == 2:
+            # unbatched [nv, nv] EDF on a square grid; v is the 1D axis
+            dv = v[1] - v[0]
+            density_loss = jnp.square(1.0 - jnp.sum(fe) * dv**2)
+            vsq = v[:, None] ** 2 + v[None, :] ** 2
+            second_moment = jnp.sum(fe * vsq) * dv**2
+            temperature_loss = jnp.square(1.0 - second_moment / 2.0)
+            momentum_loss = jnp.square(jnp.sum(fe * v[:, None]) * dv**2) + jnp.square(
+                jnp.sum(fe * v[None, :]) * dv**2
+            )
+            return density_loss, temperature_loss, momentum_loss
         dv = v[..., 1] - v[..., 0]
         density_loss = jnp.mean(jnp.square(1.0 - jnp.sum(fe * dv[..., None], axis=-1)))
         temperature_loss = jnp.mean(jnp.square(1.0 - jnp.sum(fe * v**2 * dv[..., None], axis=-1)))

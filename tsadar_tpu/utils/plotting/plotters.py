@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from matplotlib.colors import ListedColormap
 
+from ..console import log_info
 from ..ncwriter import write_dataset
 
 
@@ -225,7 +226,13 @@ def _axis_for_lineout(axis_store, lineout):
     ``detailed_axis`` is keyed per batch (like ``spec_comps``) and each entry
     may carry per-lineout rows when lam is fitted per-lineout — index the row
     by the lineout's position in its batch rather than assuming lineout 0's
-    axis fits everyone."""
+    axis fits everyone.
+
+    The legacy single-array form (no in-repo producer emits it today) is
+    indexed by GLOBAL lineout index: its rows must span all lineouts of the
+    run, not one batch's. An out-of-range index means the store doesn't
+    actually cover this lineout; return None so the caller skips the overlay
+    rather than silently plotting lineout 0's axis."""
     if axis_store is None:
         return None
     if isinstance(axis_store, dict):
@@ -236,11 +243,16 @@ def _axis_for_lineout(axis_store, lineout):
                     return ax.reshape(-1, ax.shape[-1])[list(inds).index(lineout)]
                 return ax
         return None
-    ax = np.asarray(axis_store)  # legacy single-array form
+    ax = np.asarray(axis_store)  # legacy single-array form, global row index
     if ax.ndim > 1:
         rows = ax.reshape(-1, ax.shape[-1])
-        # batched rows are per-lineout when lam is fitted per-lineout
-        return rows[lineout] if lineout < rows.shape[0] else rows[0]
+        if lineout >= rows.shape[0]:
+            log_info(
+                f"detailed_axis legacy array has {rows.shape[0]} rows, no row for "
+                f"global lineout {lineout}; skipping the raw-axis overlay"
+            )
+            return None
+        return rows[lineout]
     return ax
 
 
