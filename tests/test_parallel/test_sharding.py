@@ -48,6 +48,87 @@ def test_2v_point_sharding_matches_unsharded():
     assert_allclose(np.asarray(S1), np.asarray(S0), rtol=1e-10)
 
 
+def test_2v_point_sharded_value_and_grad_matches_unsharded():
+    """Gradient of the point-sharded 2V chi path on the mesh (r3 VERDICT #2).
+
+    The production use of shard_points is inside value_and_grad of an angular
+    fit — the backward of the with_sharding_constraint'd point axis (its
+    transpose re-applies the sharding; the table contributions reduce across
+    shards) must be a pure performance transformation. f64 CPU runs the plain
+    XLA table path; tolerances are collective-reduction roundoff only."""
+    assert jax.device_count() >= 8
+    vx, f2 = _edf_2v()
+    sa = {"sa": np.linspace(50, 70, 8)}
+    kw = dict(npts=256, lam_shift=0.0, scattering_angles=sa, num_grad_points=1, ud_ang=0.0, va_ang=0.0, num_beta=64)
+    ff_plain = FormFactor([450, 650], **kw)
+    ff_shard = FormFactor([450, 650], shard_points=True, **kw)
+    assert ff_shard._point_sharding is not None
+
+    w = jnp.cos(jnp.arange(256, dtype=f2.dtype))
+
+    def make_vg(ff):
+        def loss(fe, Te, ne):
+            p = _params(f2, vx)
+            p["electron"]["fe"] = fe
+            p["electron"]["Te"] = Te
+            p["electron"]["ne"] = ne
+            S, _ = ff.calc_in_2D(p)
+            S = jnp.squeeze(S)  # [n_lam, n_angles]
+            return jnp.sum(S * w[:, None])
+        return jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+
+    args = (f2, jnp.asarray(0.5), jnp.asarray(0.2))
+    v0, g0 = make_vg(ff_plain)(*args)
+    v1, g1 = make_vg(ff_shard)(*args)
+
+    assert_allclose(float(v1), float(v0), rtol=1e-10)
+    for name, a, b in zip(("dfe", "dTe", "dne"), g1, g0):
+        scale = float(np.max(np.abs(np.asarray(b)))) or 1.0
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10 * scale, err_msg=name)
+
+
+def test_2v_point_sharded_kernel_value_and_grad_matches_unsharded():
+    """Same gate through the FUSED KERNEL dispatch (interpret-forced, f32,
+    num_beta % 128 == 0): the query-axis GSPMD rule's backward all-reduces the
+    table cotangent across the point shards (ops.partitioning axis_partitioned
+    psum_outs) inside the full calc_in_2D trace — the ARTS production path."""
+    from tsadar_tpu.core.physics import interp
+
+    assert jax.device_count() >= 8
+    vx, f2 = _edf_2v()
+    sa = {"sa": np.linspace(50, 70, 8)}
+    kw = dict(npts=256, lam_shift=0.0, scattering_angles=sa, num_grad_points=1,
+              ud_ang=0.0, va_ang=0.0, num_beta=128)
+    w = jnp.cos(jnp.arange(256, dtype=jnp.float32))
+
+    def make_vg(ff):
+        def loss(fe, Te, ne):
+            p = _params(f2, vx)
+            p["electron"]["fe"] = fe
+            p["electron"]["Te"] = Te
+            p["electron"]["ne"] = ne
+            p = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), p)
+            S, _ = ff.calc_in_2D(p)
+            S = jnp.squeeze(S)  # [n_lam, n_angles]
+            return jnp.sum(S * w[:, None])
+        return jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+
+    args = (jnp.asarray(f2, jnp.float32), jnp.float32(0.5), jnp.float32(0.2))
+    with interp.pallas_interpret_forced():
+        ff_plain = FormFactor([450, 650], **kw)
+        ff_shard = FormFactor([450, 650], shard_points=True, **kw)
+        assert ff_shard._point_sharding is not None
+        v0, g0 = make_vg(ff_plain)(*args)
+        v1, g1 = make_vg(ff_shard)(*args)
+
+    # CPU bf16-gemm accumulation order differs between the sharded and
+    # unsharded lowerings (see test_pallas_interp_partitioned_matches_unsharded)
+    assert_allclose(float(v1), float(v0), rtol=1e-5)
+    for name, a, b in zip(("dfe", "dTe", "dne"), g1, g0):
+        scale = float(np.max(np.abs(np.asarray(b)))) or 1.0
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-4 * scale, err_msg=name)
+
+
 def test_batch_sharding_lineout_axis():
     mesh = make_mesh(8)
     batch = {"e_data": np.arange(8 * 16, dtype=float).reshape(8, 16)}

@@ -1391,6 +1391,18 @@ class FormFactor:
 
         fe_vphi, chiEI, chiERrat = self.calc_all_chi_vals(vx, fe, beta, xie_mag, klde_mag)
 
+        if self._point_sharding is not None:
+            # gather the chi results back to every device (parity with the
+            # reference's device_put round trip, form_factor.py:431-447): the
+            # spectrum assembly + IRF tail is cheap relative to chi, and
+            # letting the point sharding propagate into it pushes sharded
+            # layouts into the FFT convolutions downstream.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self._point_sharding.mesh, PartitionSpec())
+            constrain = lambda a: jax.lax.with_sharding_constraint(a, rep)
+            fe_vphi, chiEI, chiERrat = constrain(fe_vphi), constrain(chiEI), constrain(chiERrat)
+
         chiE = chiERrat + 1j * chiEI
         return self._assemble_spectrum(
             k_mag, chiE, chiI, fe_vphi, vTe, xii, vTi, Z, fract, Zbar, omgdop, omgL, ne
