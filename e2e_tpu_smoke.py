@@ -94,6 +94,47 @@ def main():
             np.all(np.isfinite(sig)) and np.any(np.abs(sig) > 0)
         )
 
+    # stage-resolved wall times from the tracker (mlflow shim run.json):
+    # prepare (setup_time), fit split into first-dispatch compile + steps,
+    # postprocess, and the unattributed remainder (imports, config, tracing
+    # outside the fit jit, artifact writes)
+    stages = {}
+    run_jsons = glob.glob(os.path.join(runs_dir, "**", "run.json"), recursive=True)
+    if run_jsons:
+        with open(run_jsons[0]) as f:
+            metrics = json.load(f).get("metrics", {})
+        last = lambda k: metrics[k][-1]["value"] if k in metrics else None
+        setup_s = last("setup_time")
+        fit_s = last("fit_time")
+        compile_s = last("fit_first_dispatch_time")
+        lossfn_s = last("fit_lossfn_init_time")
+        param_s = last("fit_param_init_time")
+        post_s = last("postprocess_time")
+        fit_parts = (compile_s, lossfn_s, param_s)
+        stages = {
+            "prepare_s": setup_s,
+            "fit_lossfn_init_s": lossfn_s,
+            "fit_param_init_s": param_s,
+            "fit_compile_s": compile_s,
+            "fit_steps_s": round(fit_s - sum(fit_parts), 2)
+            if None not in (fit_s, *fit_parts)
+            else None,
+            "postprocess_s": post_s,
+            "postprocess_refit_s": last("refitting time"),
+            "postprocess_recalc_s": last("postprocessing time"),
+            "postprocess_plot_s": last("plotting time"),
+            "other_s": round(total_s - sum(v for v in (setup_s, fit_s, post_s) if v), 1)
+            if None not in (setup_s, fit_s, post_s)
+            else None,
+        }
+        # the fit stage is gated separately from the pipeline stages: 120
+        # adam dispatches on 2 lineouts must run at library-bench speed
+        # (~25 ms/step + chip contention margin), independent of how long
+        # prepare/compile/postprocess take
+        checks["stage_metrics_present"] = None not in stages.values()
+        if stages.get("fit_steps_s") is not None:
+            checks["fit_steps_fast"] = stages["fit_steps_s"] < 15.0
+
     ok = all(checks.values())
     print(
         json.dumps(
@@ -106,6 +147,7 @@ def main():
                 "Te": Te,
                 "ne": ne,
             }
+            | stages
             | ({} if ok else {"failed_checks": [k for k, v in checks.items() if not v]})
         )
     )

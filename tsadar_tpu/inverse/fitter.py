@@ -81,7 +81,9 @@ def fit(config) -> Tuple[pd.DataFrame, float]:
     mlflow.log_metrics({"overall loss": float(overall_loss)})
     mlflow.log_metrics({"fit_time": round(time.time() - stage_start, 2)})
 
+    stage_start = time.time()
     mlflow.set_tag("status", "postprocessing")
     log_info("postprocessing")
     final_params = postprocess.postprocess(config, sample_indices, all_data, all_axes, loss_fn, sa, fitted_weights)
+    mlflow.log_metrics({"postprocess_time": round(time.time() - stage_start, 2)})
     return final_params, float(overall_loss)

@@ -15,6 +15,7 @@ parts").
 """
 
 import pickle
+import time
 from contextlib import nullcontext
 from functools import partial
 from typing import Dict, List, Tuple
@@ -200,6 +201,7 @@ def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch:
     steps) compile in about the same time as a single step on axon — only
     whole-fit-length scans (200+) hit the minutes-long remote-compile wall.
     """
+    t_enter = time.time()
     opt = optax.adam(config["optimizer"]["learning_rate"])
     ts_params = _init_params(config, previous_weights)
     diff_params, static_params = partition(ts_params, get_filter_spec(config["parameters"], ts_params))
@@ -273,11 +275,27 @@ def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch:
             return dp, state, b_loss, b_dp, b_rows
 
         done = 0
+        compile_s, seen_lengths = 0.0, set()
+        # param/opt init + filter/partition + (mesh) sharding before the first
+        # dispatch — eager jnp ops, each a tunnel round trip on axon
+        mlflow.log_metrics({"fit_param_init_time": round(time.time() - t_enter, 2)})
         while done < num_epochs:
             length = min(chunk, num_epochs - done)
+            # each distinct scan length compiles its own executable (the full
+            # chunk, plus one tail chunk when chunk doesn't divide num_epochs)
+            # — time those first dispatches so E2E artifacts can split compile
+            # from fit steps; the sync costs one pipeline bubble per compile
+            timed = length not in seen_lengths
+            if timed:
+                seen_lengths.add(length)
+                t0 = time.time()
             diff_params, opt_state, best_loss, best_dp, best_rows = run_chunk(
                 diff_params, opt_state, best_loss, best_dp, best_rows, length
             )
+            if timed:
+                jax.block_until_ready(best_loss)
+                compile_s += time.time() - t0
+                mlflow.log_metrics({"fit_first_dispatch_time": round(compile_s, 2)})
             done += length
 
     if per_lineout:
@@ -330,7 +348,11 @@ def one_d_loop(
     config: Dict, all_data: Dict, sa, batch_indices: np.ndarray, num_batches: int
 ) -> Tuple[List, float, LossFunction]:
     """Batched-lineout fitting loop (reference loops.py:98-164)."""
+    t0 = time.time()
     loss_fn = LossFunction(config, sa, _slice_batch(all_data, slice(0, config["optimizer"]["batch_size"])))
+    # diagnostic + FormFactor construction: host-side f64 PV/projection table
+    # builds on the 1-core box, seconds-scale — attributed for E2E artifacts
+    mlflow.log_metrics({"fit_lossfn_init_time": round(time.time() - t0, 2)})
     mesh = _fit_mesh(config)
     if mesh is not None:
         log_info(f"lineout batch data-parallel over {mesh.devices.size} devices")

@@ -34,6 +34,16 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import jax
 from jax import lax
 
+# custom_partitioning embeds its process-local callback POINTER in the lowered
+# HLO, which poisons the persistent compile cache: every process computes a
+# different cache key for the same program, so the minutes-long axon remote
+# compile re-runs on every CLI invocation (observed: four distinct
+# jit_run_chunk cache entries for two identical runs).  This flag strips the
+# pointer from the key — safe here because the partition callbacks are pure
+# functions of the program.  Set where the pointer enters the HLO (this module
+# wraps every kernel that carries a GSPMD rule).
+jax.config.update("jax_remove_custom_partitioning_ptr_from_cache_key", True)
+
 
 def axis_partitioned(fn, arg_dims, out_dims, rule, static_argnums=(), psum_outs=()):
     """Wrap ``fn`` with a single-shared-axis GSPMD partitioning rule.

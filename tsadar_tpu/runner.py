@@ -20,6 +20,30 @@ from .utils.console import log_info
 
 BASE_TEMPDIR = os.environ.get("BASE_TEMPDIR", None)
 
+
+def _configure_jax():
+    """Persistent compile cache + x64-on-CPU for library-level entry points.
+
+    cli.main applies the same configuration before its first backend use, but
+    runner.run / run_job / run_for_app are importable APIs (the app path, the
+    e2e harness, notebooks) — without this, those paths silently pay the full
+    multi-minute axon remote compile on EVERY invocation.  No-ops if the user
+    already configured a cache dir.
+    """
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "TSADAR_COMPILE_CACHE",
+                os.path.join(os.path.expanduser("~"), ".tsadar_jax_cache"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    if jax.default_backend() == "cpu" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
 # multi-host TPU slices: processes coordinate over DCN; lineout-batch data
 # parallelism then spans all hosts' devices (SURVEY.md §5 distributed backend)
 if os.environ.get("TSADAR_MULTIHOST"):
@@ -56,6 +80,7 @@ def load_and_make_folders(cfg_path: str) -> Tuple[str, Dict]:
 def run(cfg_path: str, mode: str) -> str:
     if mode.casefold() not in ("fit", "forward", "series"):
         raise NotImplementedError(f"Mode {mode} not implemented (use fit, forward, or series)")
+    _configure_jax()
     run_id, all_configs = load_and_make_folders(cfg_path)
     config = merge_configs(all_configs["defaults"], all_configs["inputs"])
     validate_config(config, mode=mode)
@@ -98,6 +123,7 @@ def _run_(config: Dict, mode: str = "fit"):
 
 def run_job(run_id: str, mode: str, nested: bool):
     """Resume a queued run whose config decks live in the tracked artifacts."""
+    _configure_jax()
     with mlflow.start_run(run_id=run_id, nested=nested) as run:
         artifacts = os.path.join(getattr(run, "run_dir", ""), "artifacts")
         all_configs = {}
@@ -111,6 +137,7 @@ def run_job(run_id: str, mode: str, nested: bool):
 
 def run_for_app(run_id: str) -> str:
     """Web-app entry: config + data files from the run's artifacts (reference :79-113)."""
+    _configure_jax()
     with mlflow.start_run(run_id=run_id, log_system_metrics=True) as mlflow_run:
         artifacts = os.path.join(getattr(mlflow_run, "run_dir", ""), "artifacts")
         with open(os.path.join(artifacts, "config.yaml")) as fi:
