@@ -322,6 +322,39 @@ def main():
         result["membw_gbs_fit"] = round(gbs, 1)
         result["membw_util_fit"] = round(gbs / V5E_HBM_GBS, 3)
 
+    # Pallas-aware split (tools/bytes_audit.py, docs/performance.md): the
+    # naive ratios above mix two rooflines — the Pallas kernels are
+    # MXU-dot-bound, only the XLA fusions are HBM-bound.  One short profiler
+    # trace splits device time into kernel vs fusion; kernel IO bytes come
+    # from the compiled HLO's custom-call operand/result shapes, and the
+    # fusion-side utilization is the honest bandwidth-floor readout.
+    if on_tpu:
+        try:
+            sys.path.insert(0, os.path.join(HERE, "tools"))
+            from bytes_audit import kernel_io_bytes as _kio, _trace_split
+
+            from tsadar_tpu.core.params import get_filter_spec, partition
+            from tsadar_tpu.inverse.loss import LossFunction
+
+            _, ts_params, batch, cfg, sas = _fwd_1d(BATCH)
+            loss_fn = LossFunction(cfg, sas, batch)
+            diff, static = partition(ts_params, get_filter_spec(cfg["parameters"], ts_params))
+            vg = jax.jit(jax.value_and_grad(loss_fn.__loss__, has_aux=True))
+            compiled = vg.lower(diff, static, batch).compile()
+            kio = sum(o + r for o, r, _ in _kio(compiled.as_text()))
+            k_ms, f_ms, dev_ms = _trace_split(
+                compiled, (diff, static, batch), "/tmp/bench_fit_trace"
+            )
+            result["fit_device_ms"] = round(dev_ms, 2)
+            result["fit_kernel_ms"] = round(k_ms, 2)
+            result["fit_fusion_ms"] = round(f_ms, 2)
+            if fit_bytes:
+                fusion_gbs = (fit_bytes - kio) / (f_ms / 1e3) / 1e9
+                result["fit_fusion_gbs"] = round(fusion_gbs, 1)
+                result["fit_fusion_util"] = round(fusion_gbs / V5E_HBM_GBS, 3)
+        except Exception:
+            pass
+
     if on_tpu and golden is not None:
         ok, errs = _accuracy_gate(golden)
         result["accuracy_ok"] = ok
