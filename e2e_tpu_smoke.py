@@ -127,13 +127,20 @@ def main():
             if None not in (setup_s, fit_s, post_s)
             else None,
         }
-        # the fit stage is gated separately from the pipeline stages: 120
-        # adam dispatches on 2 lineouts must run at library-bench speed
-        # (~25 ms/step + chip contention margin), independent of how long
-        # prepare/compile/postprocess take
+        # the fit stage is gated separately from the pipeline stages.
+        # fit_steps measures the untimed dispatches' wall: ~1.3 s warm
+        # (axon dispatch RPC ~200 ms/chunk), up to ~18 s on cold-cache runs
+        # (the host serializes ~15 MB of cache entries between dispatches) —
+        # the 25 s ceiling catches step-rate regressions without flaking on
+        # cold windows.  fit_compile catches the recompile-every-run failure
+        # mode (the r3 cache-key bug measured 437 s; cold one-time compile
+        # is 110-140 s, warm cached-executable load 8-219 s measured under tunnel
+        # contention).
         checks["stage_metrics_present"] = None not in stages.values()
         if stages.get("fit_steps_s") is not None:
-            checks["fit_steps_fast"] = stages["fit_steps_s"] < 15.0
+            checks["fit_steps_fast"] = stages["fit_steps_s"] < 25.0
+        if stages.get("fit_compile_s") is not None:
+            checks["fit_compile_sane"] = stages["fit_compile_s"] < 350.0
 
     ok = all(checks.values())
     print(

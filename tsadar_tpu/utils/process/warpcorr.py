@@ -128,13 +128,18 @@ def _comb_tooth_centers(img, comb_rows=EPW5_COMB_ROWS, pip_px=EPW5_PIP_PX):
     return np.asarray(best) if len(best) >= 3 else None
 
 
-def _notch_center(prof, band=EPW5_NOTCH_BAND):
-    """Half-depth center row of the notch dark band in one column profile.
+def _notch_edges(prof, band=EPW5_NOTCH_BAND):
+    """(top, bottom) half-depth edge rows of the notch dark band, or None.
 
     Returns None when the surrounding plateaus are too dim to give reliable
     edges (or the frame is too short to contain the band).  The two
     half-depth crossings are biased inward by the filter's finite OD slope,
-    but symmetrically — their midpoint is unbiased.
+    but symmetrically — their midpoint is unbiased.  Measured per-tracer
+    noise on shot 101675 (quadratic-fit residual rms over 43 column blocks):
+    top edge 1.3 px, bottom edge 8.5 px — the bottom plateau is contaminated
+    by the time-varying blue EPW feature, so callers should trace the TOP
+    edge per column and use the bottom only through a robust
+    (median-half-width) center offset.
     """
     lo, hi = band
     hi = min(hi, len(prof))
@@ -158,8 +163,8 @@ def _notch_center(prof, band=EPW5_NOTCH_BAND):
         if i <= 0 or i >= len(p) - 1:
             return None
         frac = (half - p[i - direction]) / (p[i] - p[i - direction] + 1e-12)
-        edges.append(i - direction + direction * frac)
-    return lo + 0.5 * (edges[0] + edges[1])
+        edges.append(lo + i - direction + direction * frac)
+    return edges[0], edges[1]
 
 
 def reconstruct_warp_from_fiducials(
@@ -200,17 +205,24 @@ def reconstruct_warp_from_fiducials(
     colp = np.where(cols < teeth[0], true_teeth[0] + (cols - teeth[0]) * left_slope, colp)
     colp = np.where(cols > teeth[-1], true_teeth[-1] + (cols - teeth[-1]) * right_slope, colp)
 
-    # spectral shift: notch center per 16-col block, quadratic fit over valid
-    # blocks (needs enough of the sweep lit to constrain the polynomial)
-    centers, ccols = [], []
+    # spectral shift: notch TOP edge per 16-col block, quadratic fit over
+    # valid blocks (needs enough of the sweep lit to constrain the
+    # polynomial), re-centered by the robust half-width.  The top edge is the
+    # clean tracer (1.3 px rms on 101675); the bottom plateau carries the
+    # time-varying blue EPW signal (8.5 px rms), so it enters only through
+    # the median band half-width — one robust constant instead of 43 noisy
+    # per-column samples.
+    tops, widths, ccols = [], [], []
     for c in range(8, n1 - 8, 16):
-        center = _notch_center(img[:, c - 8 : c + 8].sum(axis=1), notch_band)
-        if center is not None:
-            centers.append(center)
+        e = _notch_edges(img[:, c - 8 : c + 8].sum(axis=1), notch_band)
+        if e is not None:
+            tops.append(e[0])
+            widths.append(e[1] - e[0])
             ccols.append(c)
-    if len(centers) < 8 or (max(ccols) - min(ccols)) < n1 / 4:
+    if len(tops) < 8 or (max(ccols) - min(ccols)) < n1 / 4:
         return None
-    coeff = np.polyfit(np.asarray(ccols, float), np.asarray(centers, float), 2)
+    coeff = np.polyfit(np.asarray(ccols, float), np.asarray(tops, float), 2)
+    coeff[-1] += 0.5 * float(np.median(widths))  # top-edge quad -> band center
     anchor = notch_target_row if notch_target_row is not None else np.polyval(coeff, teeth[0])
     shift = anchor - np.polyval(coeff, cols)  # [n1]
 
