@@ -122,6 +122,8 @@ def main():
             "postprocess_s": post_s,
             "postprocess_refit_s": last("refitting time"),
             "postprocess_recalc_s": last("postprocessing time"),
+            "recalc_arrayloss_s": last("recalc_arrayloss_time"),
+            "recalc_hessian_s": last("recalc_hessian_time"),
             "postprocess_plot_s": last("plotting time"),
             "other_s": round(total_s - sum(v for v in (setup_s, fit_s, post_s) if v), 1)
             if None not in (setup_s, fit_s, post_s)

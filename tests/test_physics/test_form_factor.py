@@ -237,6 +237,46 @@ def test_nudft_projection_matches_rotation():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+def test_nudft_quarter_symmetry_matches_full_tables():
+    """The quarter-table NUDFT (4x less constant volume + FLOPs; the ARTS
+    cold-compile fix) must reproduce the full-table slice evaluation.
+
+    Shared first-quadrant rows are the same table values; mirrored rows
+    differ only by cos/sin evaluated at the mirrored f64 grid point vs
+    sign-flipped directly (~1 ulp) plus the split partial-sum reassociation
+    — roundoff, not approximation.  Values and EDF cotangent both pinned,
+    at an anisotropic shifted EDF so no accidental symmetry of DF hides a
+    sign error in the recombination."""
+    from tsadar_tpu.core.physics import form_factor as ffmod
+
+    nvx = 64
+    dv = 2 * 6.0 / nvx
+    vx = jnp.linspace(-6.0 + dv / 2, 6.0 - dv / 2, nvx, dtype=jnp.float64)
+    DF = jnp.exp(-((vx[None, :] - 0.7) ** 2) / 2 - (vx[:, None] + 0.4) ** 2 / 2.88)
+    DF = DF / jnp.sum(DF) / dv**2
+
+    kw = dict(npts=128, mode="table", lam_shift=0.0,
+              scattering_angles={"sa": np.array([60.0])}, num_grad_points=1,
+              ud_ang=0.0, va_ang=0.0)
+    for B in (8, 32, 256):
+        ff = FormFactor([400, 700], num_beta=B, **kw)
+        p_q = ff._project_all_nudft(vx, DF)
+        g_q = jax.grad(lambda d: jnp.sum(ff._project_all_nudft(vx, d) ** 2))(DF)
+        old = ffmod._NUDFT_QUARTER
+        ffmod._NUDFT_QUARTER = False
+        try:
+            p_f = ff._project_all_nudft(vx, DF)
+            g_f = jax.grad(lambda d: jnp.sum(ff._project_all_nudft(vx, d) ** 2))(DF)
+        finally:
+            ffmod._NUDFT_QUARTER = old
+        scale = float(jnp.max(jnp.abs(p_f)))
+        assert_allclose(np.asarray(p_q), np.asarray(p_f), atol=1e-12 * scale, rtol=1e-10,
+                        err_msg=f"B={B} projections")
+        gscale = float(jnp.max(jnp.abs(g_f))) or 1.0
+        assert_allclose(np.asarray(g_q), np.asarray(g_f), atol=1e-12 * gscale, rtol=1e-10,
+                        err_msg=f"B={B} grads")
+
+
 def test_exact_mode_guarded_on_tpu(monkeypatch):
     """mode='exact' on TPU falls back to table mode with a warning.
 

@@ -18,7 +18,7 @@ from tsadar_tpu.utils.process.warpcorr import (
     EPW5_PIP_PX,
     _comb_tooth_centers,
     _forward_splat,
-    _notch_center,
+    _notch_edges,
     perform_warp_correction,
     reconstruct_warp_from_fiducials,
 )
@@ -89,30 +89,32 @@ def test_reconstruction_pins_tracers(frame):
     # anchored at the first tooth: fiducial t0 unchanged
     assert abs(teeth[0] - _comb_tooth_centers(frame)[0]) < 2.0
 
-    # notch center straightened AND registered: the raw frame drifts ~12 px
-    # across the sweep; after dewarp the center must sit near its calibration
-    # row everywhere
-    raw_centers, centers = [], []
-    for c in range(420, 960, 60):
-        raw = _notch_center(frame[:, c - 8 : c + 8].sum(axis=1))
-        center = _notch_center(dew[:, c - 8 : c + 8].sum(axis=1))
-        if raw is not None:
-            raw_centers.append(raw)
-        if center is not None:
-            centers.append(center)
+    # notch band straightened AND registered: the raw frame drifts ~12 px
+    # across the sweep; after dewarp the band center (estimated the way the
+    # map pins it: clean TOP edge + robust median half-width — the bottom
+    # edge carries the time-varying blue EPW signal at 8.5 px rms) must sit
+    # near its calibration row everywhere
+    def _tops_and_widths(img):
+        tops, widths = [], []
+        for c in range(420, 960, 60):
+            e = _notch_edges(img[:, c - 8 : c + 8].sum(axis=1))
+            if e is not None:
+                tops.append(e[0])
+                widths.append(e[1] - e[0])
+        return np.asarray(tops), np.asarray(widths)
+
+    raw_tops, _ = _tops_and_widths(frame)
+    tops, widths = _tops_and_widths(dew)
+    centers = tops + 0.5 * np.median(widths)
     assert len(centers) >= 5
-    assert np.ptp(np.asarray(raw_centers)) > 6.0  # the drift is real in the raw frame
-    assert np.max(np.abs(np.asarray(centers) - 507.5)) < 3.0
+    assert np.ptp(raw_tops) > 6.0  # the drift is real in the raw frame
+    assert np.max(np.abs(centers - 507.5)) < 3.0
 
     # relative anchoring (no calibration available): straightened, not moved
     typix_rel, txpix_rel = reconstruct_warp_from_fiducials(frame)
     dew_rel = _forward_splat(frame.astype(float), typix_rel, txpix_rel)
-    rel = [
-        _notch_center(dew_rel[:, c - 8 : c + 8].sum(axis=1))
-        for c in range(420, 960, 60)
-    ]
-    rel = np.asarray([r for r in rel if r is not None])
-    assert np.ptp(rel) < 4.0
+    rel_tops, _ = _tops_and_widths(dew_rel)
+    assert np.ptp(rel_tops) < 4.0
 
     # ~identity at the validated lineout (pixel 500): the historically
     # validated fit values stay anchored

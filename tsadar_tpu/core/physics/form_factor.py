@@ -77,8 +77,13 @@ def _remat_tail_enabled():
 
 
 @functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=4)
 def _nudft_trig_tables(B, n, dtype_name="float64"):
     """Host-precomputed NUDFT central-slice trig tables (numpy, ``dtype_name``).
+
+    lru_cache'd (treat the returned arrays as read-only): every jit of a 2V
+    program re-traces this build (forward, value_and_grad, and scan-chunk
+    programs each pay it — seconds of host numpy per trace on the 1-core box).
 
     (ex_r, ex_i) [B*P, n] and (ey_r, ey_i) [B, P, n] for P = 2n, with
     theta[b, k, j] = 2pi r_k dir_b (j - c) / P on the dense [0, 2pi) angle
@@ -103,13 +108,50 @@ def _nudft_trig_tables(B, n, dtype_name="float64"):
     argx = (2.0 * np.pi / P) * np.cos(betas)[:, None, None] * r[None, :, None] * idx[None, None, :]
     argy = (2.0 * np.pi / P) * np.sin(betas)[:, None, None] * r[None, :, None] * idx[None, None, :]
     dt = np.dtype(dtype_name)
+    nb = len(betas)
     return (
-        np.cos(argx).reshape(B * P, n).astype(dt),
-        np.sin(argx).reshape(B * P, n).astype(dt),
+        np.cos(argx).reshape(nb * P, n).astype(dt),
+        np.sin(argx).reshape(nb * P, n).astype(dt),
         np.cos(argy).astype(dt),
         np.sin(argy).astype(dt),
     )
 
+
+@functools.lru_cache(maxsize=4)
+def _nudft_trig_tables_quarter(B, n, dtype_name="float64"):
+    """First-quadrant NUDFT trig tables: angle rows k = 0..B/4 inclusive.
+
+    The dense angle grid carries a 4-fold dihedral symmetry — beta -> pi -
+    beta flips cos(beta) only, beta -> 2pi - beta flips sin(beta) only — so
+    the full-[B] tables are sign recombinations of the first-quadrant rows.
+    Emitting only those rows cuts the lowered program's dominant constant
+    volume AND the projection matmul FLOPs 4x (``_project_all_nudft``
+    reassembles all B slice spectra algebraically).  Same f64-then-round
+    construction as ``_nudft_trig_tables``: shared rows are bitwise
+    identical; mirrored rows agree to ~1 ulp (cos/sin evaluated at the
+    mirrored f64 grid point vs sign-flipped directly).
+    """
+    assert B % 4 == 0
+    P = 2 * n
+    c = (n - 1) / 2.0
+    r = np.fft.fftfreq(P) * P
+    idx = np.arange(n, dtype=np.float64) - c
+    betas = np.linspace(0.0, 2.0 * np.pi, B, endpoint=False)[: B // 4 + 1]
+    argx = (2.0 * np.pi / P) * np.cos(betas)[:, None, None] * r[None, :, None] * idx[None, None, :]
+    argy = (2.0 * np.pi / P) * np.sin(betas)[:, None, None] * r[None, :, None] * idx[None, None, :]
+    dt = np.dtype(dtype_name)
+    nb = len(betas)
+    return (
+        np.cos(argx).reshape(nb * P, n).astype(dt),
+        np.sin(argx).reshape(nb * P, n).astype(dt),
+        np.cos(argy).astype(dt),
+        np.sin(argy).astype(dt),
+    )
+
+
+# quarter-symmetry NUDFT table dispatch (tests force the full-table path to
+# pin the algebraic recombination against it)
+_NUDFT_QUARTER = True
 
 # probe angular-frequency numerator: omgL = OMGL_NUM / lam  (lam in nm, omgL in 1/s)
 OMGL_NUM = 2.0 * np.pi * 1.0e7 * C
@@ -1158,14 +1200,50 @@ class FormFactor:
         # in-graph re-fused the cos/sin into every consumer matmul (~1.9
         # ms/iteration of VPU work) unless explicitly barriered, and even
         # barriered they cost ~0.45 ms/iteration to rebuild.
-        ex_r, ex_i, ey_r, ey_i = (
-            jnp.asarray(t) for t in _nudft_trig_tables(B, n, np.dtype(DF.dtype).name)
-        )
-        inner_r = (ex_r @ DF.T).reshape(B, P, n)
-        inner_i = (-ex_i @ DF.T).reshape(B, P, n)
-        # S[b, k] = sum_y e^{-i argy[b,k,y]} inner[b, k, y]
-        S_r = jnp.sum(ey_r * inner_r + ey_i * inner_i, axis=-1)
-        S_i = jnp.sum(ey_r * inner_i - ey_i * inner_r, axis=-1)
+        if B % 4 == 0 and B >= 8 and _NUDFT_QUARTER:
+            # quarter-symmetry path: with a_b = cos(beta_b), s_b = sin(beta_b)
+            # and inner[b,k,y] = sum_x DF[y,x] e^{-i w a_b r_k x~}, the angle
+            # maps beta -> 2pi-beta (s -> -s) and beta -> pi-beta (a -> -a)
+            # turn the four partial contractions
+            #   A = sum_y ey_r inner_r   Bm = sum_y ey_i inner_i
+            #   C = sum_y ey_r inner_i   D  = sum_y ey_i inner_r
+            # of the first-quadrant rows into all B slice spectra:
+            #   S[k]        = (A+Bm) + i(C-D)        b = k
+            #   S[B/2-k]    = (A-Bm) + i(-C-D)       (a flipped)
+            #   S[B/2+k]    = (A+Bm) + i(-C+D)       (both flipped)
+            #   S[B-k]      = (A-Bm) + i(C+D)        (s flipped)
+            # 4x less table-constant volume in the lowered program (the ARTS
+            # cold-compile bottleneck: 135 MB of dense trig literals shipped
+            # to the remote compiler) and 4x fewer projection-matmul FLOPs.
+            Q = B // 4
+            ex_r, ex_i, ey_r, ey_i = (
+                jnp.asarray(t)
+                for t in _nudft_trig_tables_quarter(B, n, np.dtype(DF.dtype).name)
+            )
+            inner_r = (ex_r @ DF.T).reshape(Q + 1, P, n)
+            inner_i = (-ex_i @ DF.T).reshape(Q + 1, P, n)
+            A = jnp.sum(ey_r * inner_r, axis=-1)
+            Bm = jnp.sum(ey_i * inner_i, axis=-1)
+            C = jnp.sum(ey_r * inner_i, axis=-1)
+            D = jnp.sum(ey_i * inner_r, axis=-1)
+            apb, amb = A + Bm, A - Bm
+            cmd, cpd = C - D, C + D
+            flip = lambda x: jnp.flip(x, axis=0)
+            S_r = jnp.concatenate(
+                [apb[: Q + 1], flip(amb[1:Q]), apb[:Q], flip(amb[1 : Q + 1])]
+            )
+            S_i = jnp.concatenate(
+                [cmd[: Q + 1], flip(-cpd[1:Q]), (-cmd)[:Q], flip(cpd[1 : Q + 1])]
+            )
+        else:
+            ex_r, ex_i, ey_r, ey_i = (
+                jnp.asarray(t) for t in _nudft_trig_tables(B, n, np.dtype(DF.dtype).name)
+            )
+            inner_r = (ex_r @ DF.T).reshape(B, P, n)
+            inner_i = (-ex_i @ DF.T).reshape(B, P, n)
+            # S[b, k] = sum_y e^{-i argy[b,k,y]} inner[b, k, y]
+            S_r = jnp.sum(ey_r * inner_r + ey_i * inner_i, axis=-1)
+            S_i = jnp.sum(ey_r * inner_i - ey_i * inner_r, axis=-1)
 
         # output-grid cell-center phase + inverse transform (parity with
         # _project_all_fourier lines above)

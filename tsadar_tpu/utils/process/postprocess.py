@@ -89,6 +89,7 @@ def recalculate_with_chosen_weights(
                 log_info(f"Error calculating angular Hessian ({e}); skipping uncertainties")
                 calc_sigma = False
     else:
+        arrayloss_s = hessian_s = 0.0
         for i_batch, inds in enumerate(batch_indices):
             batch = {
                 "e_data": all_data["e_data"][inds],
@@ -98,8 +99,10 @@ def recalculate_with_chosen_weights(
                 "noise_e": all_data["noiseE"][inds],
                 "noise_i": all_data["noiseI"][inds],
             }
+            t0 = time.time()
             loss, sqds, ThryE, ThryI, params = loss_fn.array_loss(fitted_weights[i_batch], batch)
             losses[inds] = np.asarray(loss)
+            arrayloss_s += time.time() - t0
 
             def assign(dst, inds, val):
                 # tolerant placement: unloaded species carry placeholder zeros
@@ -145,12 +148,21 @@ def recalculate_with_chosen_weights(
                     log_info(f"detailed breakdown failed ({e}); continuing")
 
             if calc_sigma:
+                t0 = time.time()
                 try:
                     hess = batch_flat_hessian(config, loss_fn, fitted_weights[i_batch], batch)
                     sigmas[inds] = get_sigmas(hess, config["optimizer"]["batch_size"])
                 except Exception as e:
                     log_info(f"Error calculating Hessian ({e}); skipping uncertainties")
                     calc_sigma = False
+                hessian_s += time.time() - t0
+        # recalc sub-stage attribution for the E2E artifact: the loss-array
+        # re-evaluation compiles/loads its own TPU executable and the sigma
+        # Hessian traces f64 on the 1-core CPU backend — both seconds-scale
+        mlflow.log_metrics({
+            "recalc_arrayloss_time": round(arrayloss_s, 2),
+            "recalc_hessian_time": round(hessian_s, 2),
+        })
 
     return losses, sqdevs, num_params, fits, sigmas, all_params
 
