@@ -7,7 +7,7 @@ losses, the artifact set, and loose physics bounds on the recovered
 parameters, then prints ONE JSON line; exits nonzero on any failure.
 
 Warm-cache runtime ~1 min; first run pays the remote TPU compile (~3 min).
-Record: E2E_TPU_r03.json.
+Record: E2E_TPU_r{N}.json (per round).
 """
 
 import glob
