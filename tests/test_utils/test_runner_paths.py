@@ -126,3 +126,27 @@ def test_sequential_warm_start_across_batches(tmp_path, monkeypatch):
     # all four lineouts produced physical values
     te = np.asarray(fit_results["Te_electron"]).ravel()
     assert te.shape[0] == 4 and np.all((te > 0.01) & (te < 1.5))
+
+
+def test_configure_jax_enables_cache_and_respects_override(monkeypatch, tmp_path):
+    """Library entry points must enable the persistent compile cache (without
+    it, runner.run/run_job/run_for_app paid the full multi-minute axon remote
+    compile on EVERY invocation — the r4 E2E finding) while never clobbering
+    a user-configured cache dir."""
+    import jax
+
+    from tsadar_tpu.runner import _configure_jax
+
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("TSADAR_COMPILE_CACHE", str(tmp_path / "cache"))
+        jax.config.update("jax_compilation_cache_dir", None)
+        _configure_jax()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cache")
+
+        # a user-set dir wins: _configure_jax must be a no-op
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "user"))
+        _configure_jax()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "user")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
