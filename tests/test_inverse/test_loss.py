@@ -140,6 +140,25 @@ def test_bound_penalty_fires_out_of_bounds():
     assert float(loss_fn.bound_penalty(ts)) == pytest.approx(BATCH * np.log(1.9), rel=1e-6)
 
 
+def test_bound_penalty_inert_for_activated_params():
+    """Production fits use sigmoid activation, which structurally confines
+    every scalar param to [0, 1] — the penalty must be *exactly* zero there
+    (it is a guard, not a regularizer; docs/configuration.md). Pin that the
+    activate=True path yields identically 0 even for extreme logit leaves."""
+    cfg = _small_config(BATCH)
+    sas = get_scattering_angles(cfg)
+    batch = _make_batch(BATCH)
+    loss_fn = LossFunction(cfg, sas, batch)
+    ts = ThomsonParams.create(cfg["parameters"], num_params=BATCH, batch=True, activate=True)
+    assert float(loss_fn.bound_penalty(ts)) == 0.0
+    # push a raw logit leaf far out — the activated value saturates inside
+    # [0, 1] and the penalty stays exactly zero
+    ts.electron.params.normed["Te"] = jnp.full(BATCH, 25.0)
+    assert float(loss_fn.bound_penalty(ts)) == 0.0
+    ts.electron.params.normed["Te"] = jnp.full(BATCH, -25.0)
+    assert float(loss_fn.bound_penalty(ts)) == 0.0
+
+
 def test_bound_penalty_connects_via_config_flag():
     loss_fn_off, diff, static, batch = _loss_setup()
     loss_fn_on, *_ = _loss_setup(**{"optimizer.bound_penalty": True})

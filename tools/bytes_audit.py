@@ -33,8 +33,12 @@ sys.path.insert(0, HERE)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+def _configure_cache():
+    # Only as a script: importers (bench.py) own their own cache config.
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 
 V5E_HBM_GBS = 819.0
 
@@ -167,4 +171,5 @@ def audit(which="fit"):
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _configure_cache()
     audit("fwd" if "--fwd" in sys.argv else "fit")

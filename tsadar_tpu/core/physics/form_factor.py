@@ -76,7 +76,6 @@ def _remat_tail_enabled():
     return bool(REMAT_SPECTRUM_TAIL)
 
 
-@functools.lru_cache(maxsize=8)
 @functools.lru_cache(maxsize=4)
 def _nudft_trig_tables(B, n, dtype_name="float64"):
     """Host-precomputed NUDFT central-slice trig tables (numpy, ``dtype_name``).
