@@ -202,6 +202,55 @@ def _fit_step_ms(batch_size=BATCH, repeats=3, iters=5):
     return best, flops, bytes_accessed
 
 
+PROBE_REF_MS = 0.76  # uncontended per-matmul time of _contention_probe's chain on
+#                      v5e (best calibration windows measured 0.766-0.781;
+#                      137 GFLOP at ~178 TFLOP/s = 90% bf16 peak, incl. the
+#                      amortized readback RPC).  The probe divides out
+#                      shared-chip contention: normalized = raw * probe_ms / this.
+
+
+def _contention_probe(repeats=3, chain=512):
+    """Fixed, model-independent calibration op: a chain of ``chain``
+    [4096, 4096] bf16 self-matmuls inside ONE jit (137 GFLOP each), synced by
+    a SCALAR READBACK.
+
+    Two axon-tunnel traps shaped this design (both measured):
+    * a single small op per dispatch times the ~7 ms dispatch RPC, not the
+      chip — the chain makes one dispatch ~300+ ms of pure-MXU device time;
+    * ``block_until_ready`` does NOT actually wait for a remote execution
+      until the client's pipeline backpressures (3 queued copies of this
+      program "completed" in 100 us) — only a host readback truly syncs.
+      The ~30 ms scalar-readback RPC is amortized to <10%% by the chain
+      length and is absorbed into PROBE_REF_MS (measured the same way).
+
+    The shared chip shows +-25%% run-to-run contention spread, inside which
+    a true ~15%% model regression is invisible.  This op never changes across
+    rounds, so ``probe_matmul_ms / PROBE_REF_MS`` estimates the window's
+    contention factor, and workload numbers scaled by it (``*_normalized``
+    fields) are comparable across rounds/windows."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.full((4096, 4096), 1e-3, jnp.bfloat16)
+
+    @jax.jit
+    def f(x):
+        def body(_, y):
+            # data-dependent chain so XLA cannot collapse the loop; values
+            # stay bounded (row sums ~ 4096 * 1e-3 * y)
+            return y @ x + x
+
+        return jax.lax.fori_loop(0, chain, body, x).sum()
+
+    float(f(a))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(f(a))  # scalar readback = the only real sync through the tunnel
+        best = min(best, (time.perf_counter() - t0) / chain * 1e3)
+    return best
+
+
 def _run_cpu_subprocess():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -280,6 +329,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     value, sec_per_iter, xla_flops, xla_bytes = measure(want_flops=True)
+    probe_fwd_ms = _contention_probe() if on_tpu else None
     baseline, useful_flops, golden = _cpu_artifacts()
 
     # context: one optimizer iteration (loss + grad) over the same batch
@@ -288,6 +338,7 @@ def main():
         fit_ms, fit_flops, fit_bytes = _fit_step_ms()
     except Exception:
         pass
+    probe_fit_ms = _contention_probe() if on_tpu else None
 
     result = {
         "metric": "forward lineout-spectra/sec (1k-lambda grid, batched diagnostic)",
@@ -296,9 +347,19 @@ def main():
         "vs_baseline": round(value / baseline, 2) if baseline else None,
     }
 
+    # contention-normalized numbers: scale each workload by its own window's
+    # probe factor so cross-round comparisons see the model, not the neighbors
+    if probe_fwd_ms:
+        result["probe_matmul_ms"] = round(probe_fwd_ms, 3)
+        result["probe_ref_ms"] = PROBE_REF_MS
+        result["value_normalized"] = round(value * probe_fwd_ms / PROBE_REF_MS, 2)
+
     if fit_ms:
         result["fit_step_ms"] = round(fit_ms, 2)
         result["fit_spectra_per_sec"] = round(BATCH / fit_ms * 1e3, 2)
+        if probe_fit_ms:
+            result["probe_matmul_fit_ms"] = round(probe_fit_ms, 3)
+            result["fit_step_ms_normalized"] = round(fit_ms * PROBE_REF_MS / probe_fit_ms, 2)
 
     if xla_flops:
         tflops_xla = xla_flops / sec_per_iter / 1e12

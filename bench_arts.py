@@ -91,7 +91,12 @@ def main():
     o = vg(diff)
     jax.block_until_ready(o[0])
     vg_compile_s = time.time() - t0
-    vg_ms = best_of(lambda d: vg(d)[0], diff)
+    # NOTE: a per-dispatch value_and_grad timing used to be reported here, but
+    # at this small-batch shape each dispatch rides the ~7 ms tunnel RPC and
+    # the number varied 4x between otherwise identical runs (10.2 vs 39.7 ms
+    # committed/reproduced in round 4) — unstable fields in committed
+    # artifacts invite wrong conclusions.  fit_iter_ms below (scanned chunks,
+    # the production loop's cost) is the stable per-iteration metric.
 
     # convergence gate: a short adam run against the 0.9x-scaled target must
     # actually drive the loss down — a broken gradient (the class of bug the
@@ -132,19 +137,37 @@ def main():
     # reduction at lr=5e-4 (monotone), so gate at 4x with margin.
     fit_ok = np.isfinite(final_loss) and final_loss < initial_loss / 4.0
 
+    # same-window contention probe (see bench.PROBE_REF_MS): normalizes
+    # fit_iter_ms across rounds on the shared chip
+    probe_ms = None
+    if jax.default_backend() == "tpu":
+        try:
+            from bench import PROBE_REF_MS, _contention_probe
+
+            probe_ms = _contention_probe()
+        except Exception:
+            probe_ms = None
+
     print(
         json.dumps(
             {
                 "workload": "ARTS 2V arbitrary EDF, 1024 lambda x 241 angles, nvx=128",
                 "platform": jax.default_backend(),
                 "forward_ms": round(fwd_ms, 1),
-                "value_and_grad_ms": round(vg_ms, 1),
                 "fit_iter_ms": round(fit_iter_ms, 1),
                 "compile_s": round(compile_s + vg_compile_s, 1),
                 "fit120_initial_loss": initial_loss,
                 "fit120_final_loss": final_loss,
                 "fit_ok": bool(fit_ok),
             }
+            | (
+                {
+                    "probe_matmul_ms": round(probe_ms, 3),
+                    "fit_iter_ms_normalized": round(fit_iter_ms * PROBE_REF_MS / probe_ms, 2),
+                }
+                if probe_ms
+                else {}
+            )
         )
     )
     if not fit_ok:

@@ -49,6 +49,7 @@ from .interp import (
     select_columns_linear,
     chi_bilinear_lookup,
     pallas_enabled,
+    dispatch_backend,
 )
 from .zprime import zprime
 
@@ -261,7 +262,7 @@ def _use_kinematics_vjp():
     """Gate for ALL analytic custom-VJP dispatches in this module (kinematics
     and spectrum assembly): TPU-only, and off inside hessian traces (same gate
     as Pallas dispatch: ``custom_vjp`` cannot be forward-differentiated)."""
-    return jax.default_backend() == "tpu" and pallas_enabled()
+    return dispatch_backend() == "tpu" and pallas_enabled()
 
 
 def _unbroadcast(g, shape):
@@ -761,7 +762,7 @@ def _use_tail_kernel(lf, weights, omgs):
     G, L, nA = lf.shape
     return (
         TAIL_PALLAS
-        and jax.default_backend() == "tpu"
+        and dispatch_backend() == "tpu"
         and pallas_enabled()
         and lf.dtype == jnp.float32
         and L % 128 == 0
@@ -1018,7 +1019,7 @@ class FormFactor:
         # = -inf, which a single matmul then spreads across the whole lineout.
         tiny = jnp.finfo(jnp.result_type(fe)).tiny
         log_fe = jnp.log(jnp.maximum(fe, tiny))
-        if jax.default_backend() == "tpu" and vx.shape[0] > _CUBIC_BLOCKED_MIN_NVX:
+        if dispatch_backend() == "tpu" and vx.shape[0] > _CUBIC_BLOCKED_MIN_NVX:
             # blocked cubic: same Hermite stencil without materializing the
             # [Q, nvx] weight matrix.  With the fused Pallas kernels this
             # path wins at EVERY production grid (bench fwd 42.5k -> 48.5k
@@ -1041,7 +1042,7 @@ class FormFactor:
         n_tab = mid_poles.shape[0] + node_poles.shape[0]
         pv_poles = jnp.zeros(n_tab, mid_poles.dtype).at[0::2].set(mid_poles).at[1::2].set(node_poles)
         chiERratprim = jnp.zeros(n_tab, mid_vals.dtype).at[0::2].set(mid_vals).at[1::2].set(node_vals)
-        if jax.default_backend() == "tpu":
+        if dispatch_backend() == "tpu":
             # gather-free two-level one-hot contraction: the axon compiler
             # nondeterministically lowers this batched 1D gather ~500x slow
             # (CLAUDE.md "Open performance lead"); the blocked form is pure
@@ -1280,7 +1281,7 @@ class FormFactor:
         dvx = vx[1] - vx[0]
 
         if self.projection == "fourier":
-            if jax.default_backend() == "tpu":
+            if dispatch_backend() == "tpu":
                 # exact NUDFT slice evaluation: no k-space gather (its backward
                 # is a TPU scatter costing ~50 ms/iteration), no interp error
                 f1d = self._project_all_nudft(vx, DF)
@@ -1365,7 +1366,7 @@ class FormFactor:
         # (rowmix/kernel dispatch incl. the query-sharded partitioning rule).
         # f32-gated like interp._use_pallas2 — the kernels' bf16-split tables
         # would silently degrade an f64 CPU evaluation.
-        if jax.default_backend() == "tpu" or (
+        if dispatch_backend() == "tpu" or (
             pallas_interpret_active() and f1d.dtype == jnp.float32
         ):
             # gather-free: one fractional-two-hot row contraction over the

@@ -90,7 +90,7 @@ def _lin_uniform_bwd(res, g):
     i0f = i0.reshape(-1)
     a = ((1.0 - w) * g).reshape(-1)
     b = (w * g).reshape(-1)
-    if _jax.default_backend() == "tpu":
+    if dispatch_backend() == "tpu":
         # one-hot matmul: TPU scatter-adds are slow, MXU contractions are not
         cols = jnp.arange(n, dtype=jnp.int32)
         onehot0 = (i0f[:, None] == cols[None, :]).astype(g.dtype)
@@ -112,7 +112,20 @@ def _bf16_split(x, terms):
     ``x - x.astype(bf16).astype(f32)`` is constant-folded to ZERO by XLA's
     excess-precision simplifier on TPU (the f32->bf16->f32 roundtrip is elided),
     which silently collapses the split to one bf16 term.
+
+    DTYPE-POLYMORPHIC: for non-f32 inputs (the f64 CPU sigma-Hessian traces,
+    postprocess.batch_flat_hessian) returns ``[x]`` unchanged — a bf16 split
+    would cap the value accuracy at ~2^-24, silently defeating the f64
+    evaluation those traces exist for.  Every split-contraction call site
+    sizes its one-hot dtype and chunk-sum off ``len(parts)``, so the same
+    code paths run one exact full-precision matmul instead.  (Keeping the
+    matmul FORM in f64 is deliberate: the gather/scatter formulations measure
+    4.5x SLOWER on this host's XLA:CPU backend — its AOT kernels are built
+    with prefer-no-scatter/gather — so only the split changes, not the
+    algorithm; measured B=16 hessian: 43.6 s split-matmul, 198.6 s gathers.)
     """
+    if x.dtype != jnp.float32:
+        return [x]
     parts = []
     r = x
     for _ in range(terms - 1):
@@ -121,6 +134,12 @@ def _bf16_split(x, terms):
         r = r - pt
     parts.append(r.astype(jnp.bfloat16))
     return parts
+
+
+def _onehot_dtype(parts):
+    """One-hot operand dtype matching a ``_bf16_split`` result: bf16 against
+    split bf16 values (rows exact), the value dtype against unsplit values."""
+    return jnp.bfloat16 if parts[0].dtype == jnp.bfloat16 else parts[0].dtype
 
 
 _BLOCK = 8  # in-context whole-shot step sweet spot on v5e (isolated sweeps mildly favor 16)
@@ -189,6 +208,23 @@ def pallas_enabled():
     return _PALLAS_ENABLED
 
 
+def dispatch_backend():
+    """Backend name the FORMULATION dispatch keys on.
+
+    Note for CPU-destined traces from a TPU process (the f64 sigma-Hessian,
+    postprocess.batch_flat_hessian): this still reports "tpu" under
+    ``jax.default_device(cpu)``, so those traces get the TPU-oriented matmul
+    formulations — and that is CORRECT on this host, not an accident.  Routing
+    them to the "cpu" branches (hardware gathers/scatter-adds) was tried and
+    measured 4.5x SLOWER (B=16 hessian: 198.6 s vs 43.6 s) because the XLA:CPU
+    AOT kernels here are built prefer-no-scatter/no-gather.  The f64-accuracy
+    side of that coin is handled where it belongs: ``_bf16_split`` is
+    dtype-polymorphic, so non-f32 traces run the same matmul forms at full
+    working precision.
+    """
+    return _jax.default_backend()
+
+
 _PALLAS_INTERPRET = False
 
 
@@ -222,7 +258,7 @@ def _use_pallas2(xq, f):
         return True
     return (
         _PALLAS_ENABLED
-        and _jax.default_backend() == "tpu"
+        and dispatch_backend() == "tpu"
         and f.dtype == jnp.float32
         and xq.size >= 1024  # tiny query sets are not worth a kernel launch
     )
@@ -262,15 +298,17 @@ def _blocked_fwd_impl(xq, x, f, block):
     n = x.shape[0]
     seg, nblk = _blocked_segments(f, n, block)
     # three-term bf16 split: values survive to ~2^-24 relative (one-hot rows
-    # are exact in bf16; accumulation is f32)
-    segcat = jnp.concatenate(_bf16_split(seg, 3), axis=-1)  # [..., K, 3*(block+1)]
+    # are exact in bf16; accumulation is f32).  f64 (sigma-Hessian traces):
+    # one unsplit full-precision matmul (see _bf16_split).
+    parts = _bf16_split(seg, 3)
+    segcat = jnp.concatenate(parts, axis=-1)  # [..., K, nterm*(block+1)]
 
     blk, lo, w, inside = _blocked_indices(xq, x, block)
     w = w.astype(f.dtype)
-    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    S3 = jnp.matmul(onehot, segcat, preferred_element_type=f.dtype)  # [Q, 3*(block+1)]
+    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(_onehot_dtype(parts))
+    S3 = jnp.matmul(onehot, segcat, preferred_element_type=f.dtype)  # [Q, nterm*(block+1)]
     c = block + 1
-    S = S3[..., :c] + S3[..., c : 2 * c] + S3[..., 2 * c :]  # [Q, block+1]
+    S = sum(S3[..., k * c : (k + 1) * c] for k in range(len(parts)))  # [Q, block+1]
 
     oh = (lo[:, None] == jnp.arange(block, dtype=jnp.int32)[None, :]).astype(f.dtype)
     f0 = jnp.sum(oh * S[..., :block], axis=-1)
@@ -315,12 +353,13 @@ def _blocked_vjp_bwd(res, g):
         cot = gq[:, None] * (
             (lo[:, None] == jj) * (1.0 - w[:, None]) + ((lo + 1)[:, None] == jj) * w[:, None]
         ).astype(f.dtype)  # [Q, block+1]
-        ch, cl = _bf16_split(cot, 2)
-        onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+        parts = _bf16_split(cot, 2)
+        onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(_onehot_dtype(parts))
         D2 = jnp.matmul(
-            onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype
+            onehot.T, jnp.concatenate(parts, axis=-1), preferred_element_type=f.dtype
         )
-        dseg = D2[..., : block + 1] + D2[..., block + 1 :]  # [K, block+1]
+        c1 = block + 1
+        dseg = sum(D2[..., k * c1 : (k + 1) * c1] for k in range(len(parts)))  # [K, block+1]
     # fold overlapping segments: seg[k, j] -> fpad[block*k + j]
     dfpad = jnp.concatenate([dseg[..., :block].reshape(-1), jnp.zeros((1,), f.dtype)], axis=-1)
     dfpad = dfpad.at[block::block].add(dseg[..., block])
@@ -613,12 +652,14 @@ def _rowmix_impl(T, beta_q):
     rows = jnp.arange(R, dtype=jnp.int32)[None, :]
     wb = wb.astype(T.dtype)
     W = (1.0 - wb)[:, None] * (ib0[:, None] == rows) + wb[:, None] * (ib1[:, None] == rows)
-    Wh, Wl = _bf16_split(W, 2)
-    Th, Tl = _bf16_split(T, 2)
-    Wcat = jnp.concatenate([Wh, Wl], axis=1)  # [Q, 2R]
-    out = jnp.matmul(Wcat, jnp.concatenate([Th, Th], axis=0), preferred_element_type=T.dtype)
-    out = out + jnp.matmul(
-        Wcat, jnp.concatenate([Tl, Tl], axis=0), preferred_element_type=T.dtype
+    Wparts = _bf16_split(W, 2)
+    Tparts = _bf16_split(T, 2)
+    Wcat = jnp.concatenate(Wparts, axis=1)  # [Q, nterm*R]
+    out = sum(
+        jnp.matmul(
+            Wcat, jnp.concatenate([Tp] * len(Wparts), axis=0), preferred_element_type=T.dtype
+        )
+        for Tp in Tparts
     )
     return out.reshape(qshape + (C,))
 
@@ -664,19 +705,17 @@ def _rowmix_vjp_bwd(res, g):
     # relative exactness as the forward's split, at ~1/3 the passes.  This
     # was the largest single device op of the ARTS fit iteration (2.2 ms of
     # ~11 ms at full resolution, docs/performance.md).
-    Wh, Wl = _bf16_split(W, 2)
-    gh, gl = _bf16_split(gq, 2)
-    Wcat_t = jnp.concatenate([Wh, Wl], axis=1).T  # [2R, Q]
-    M = jnp.matmul(Wcat_t, gh, preferred_element_type=T.dtype)
-    M = M + jnp.matmul(Wcat_t, gl, preferred_element_type=T.dtype)
-    dT = M[:R] + M[R:]
+    Wparts = _bf16_split(W, 2)
+    gparts = _bf16_split(gq, 2)
+    Wcat_t = jnp.concatenate(Wparts, axis=1).T  # [nterm*R, Q]
+    M = sum(jnp.matmul(Wcat_t, gp, preferred_element_type=T.dtype) for gp in gparts)
+    dT = sum(M[k * R : (k + 1) * R] for k in range(len(Wparts)))
 
     # oh1 - oh0 has entries in {-1, 0, 1}, exactly representable in bf16;
     # only T needs the split — two plain passes replace six.
-    D = (oh1 - oh0).astype(jnp.bfloat16)
-    Th, Tl = _bf16_split(T, 2)
-    rowdiff = jnp.matmul(D, Th, preferred_element_type=T.dtype)
-    rowdiff = rowdiff + jnp.matmul(D, Tl, preferred_element_type=T.dtype)
+    Tparts = _bf16_split(T, 2)
+    D = (oh1 - oh0).astype(_onehot_dtype(Tparts))
+    rowdiff = sum(jnp.matmul(D, Tp, preferred_element_type=T.dtype) for Tp in Tparts)
     dbeta = jnp.sum(gq * rowdiff, axis=-1) * (R / (2.0 * jnp.pi))
     return dT, dbeta.reshape(qshape).astype(beta_q.dtype)
 
@@ -914,13 +953,14 @@ def _cubic_blocked_indices(xq, x, block):
 def _cubic_blocked_taps(xq, x, f, block):
     n = x.shape[0]
     seg, nblk = _cubic_blocked_segments(f, n, block)
-    segcat = jnp.concatenate(_bf16_split(seg, 3), axis=-1)
+    parts = _bf16_split(seg, 3)
+    segcat = jnp.concatenate(parts, axis=-1)
 
     i, blk, lo, t = _cubic_blocked_indices(xq, x, block)
-    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(_onehot_dtype(parts))
     S3 = jnp.matmul(onehot, segcat, preferred_element_type=f.dtype)
     c = block + 3
-    S = S3[..., :c] + S3[..., c : 2 * c] + S3[..., 2 * c :]  # [Q, block+3]
+    S = sum(S3[..., k * c : (k + 1) * c] for k in range(len(parts)))  # [Q, block+3]
 
     oh = (lo[:, None] == jnp.arange(block, dtype=jnp.int32)[None, :]).astype(f.dtype)
     taps = [jnp.sum(oh * S[..., k : k + block], axis=-1) for k in range(4)]
@@ -998,11 +1038,11 @@ def _cubic_blocked_vjp_bwd(res, g):
         cot = gq[:, None] * sum(
             c[:, None] * (jj == (lo + k)[:, None]) for k, c in enumerate(cw)
         ).astype(f.dtype)  # [Q, block+3]
-        ch, cl = _bf16_split(cot, 2)
-        onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-        D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
+        parts = _bf16_split(cot, 2)
+        onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(_onehot_dtype(parts))
+        D2 = jnp.matmul(onehot.T, jnp.concatenate(parts, axis=-1), preferred_element_type=f.dtype)
         c = block + 3
-        dseg = D2[..., :c] + D2[..., c:]  # [K, block+3]
+        dseg = sum(D2[..., k * c : (k + 1) * c] for k in range(len(parts)))  # [K, block+3]
 
     npad = nblk * block + 3
     dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((3,), f.dtype)], axis=-1)

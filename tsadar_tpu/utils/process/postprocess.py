@@ -187,7 +187,12 @@ def batch_flat_hessian(config, loss_fn, weights, batch, max_params=None, force_d
       unjitted ``jax.hessian`` dispatches ops eagerly, which the axon runtime
       cannot execute — the CPU trace must therefore run with the fused-Pallas
       dispatch disabled (``pallas_disabled``: ``jax.default_backend()`` still
-      reports "tpu" under ``jax.default_device(cpu)``).
+      reports "tpu" under ``jax.default_device(cpu)``).  The trace therefore
+      gets the TPU-oriented one-hot MATMUL formulations — deliberately kept:
+      the gather/scatter "cpu" branches measured 4.5x slower on this host
+      (see ``interp.dispatch_backend``), and ``interp._bf16_split`` is
+      dtype-polymorphic, so the f64 trace runs those matmuls unsplit at full
+      f64 precision (a bf16 split would cap table accuracy at ~2^-24).
     """
     try:  # public home through jax 0.4.x
         from jax.experimental import enable_x64
