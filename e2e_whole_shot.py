@@ -147,6 +147,7 @@ def main():
         compile_s = last("fit_first_dispatch_time")
         lossfn_s = last("fit_lossfn_init_time")
         param_s = last("fit_param_init_time")
+        final_loss_s = last("fit_final_loss_time") or 0.0
         post_s = last("postprocess_time")
         fit_parts = (compile_s, lossfn_s, param_s)
         stages = {
@@ -154,7 +155,8 @@ def main():
             "fit_lossfn_init_s": lossfn_s,
             "fit_param_init_s": param_s,
             "fit_compile_s": compile_s,
-            "fit_steps_s": round(fit_s - sum(fit_parts), 2)
+            "fit_final_loss_s": final_loss_s,
+            "fit_steps_s": round(fit_s - sum(fit_parts) - final_loss_s, 2)
             if None not in (fit_s, *fit_parts)
             else None,
             "postprocess_s": post_s,

@@ -106,6 +106,91 @@ def test_1d_inverse_scipy_lbfgsb():
     _assert_recovered(gt, combine(unravel(res["x"]), static))
 
 
+def test_sigma_pull_distribution():
+    """The reported sigmas must be CALIBRATED, not just finite: over fits to
+    noisy synthetic data with known truth, |fit - truth| / sigma should be
+    O(1).  Catches both failure modes the finite-and-nonzero e2e gate cannot:
+    overflow-zeroed sigmas (pulls -> inf) and orders-of-magnitude
+    miscalibration (the Hessian loss weights pixels by 1/|data|, i.e. assumes
+    Poisson counting statistics — so the data here is count-scaled with
+    matching noise).  Reference anchor: postprocess.py:188-251 (sigma
+    extraction), loss_function.py (hessian loss).
+
+    Pulls are evaluated in the raveled ACTIVATED parameter space — the space
+    the Hessian is taken in and the space sigmas.csv reports.
+    """
+    from __graft_entry__ import _small_config
+    from tsadar_tpu.inverse.loss import LossFunction
+    from tsadar_tpu.utils.data_handling.calibration import get_scattering_angles as gsa
+    from tsadar_tpu.utils.process.postprocess import batch_flat_hessian, get_sigmas
+
+    B = 4
+    COUNTS = 4000.0  # detector-count scale: hessian weights assume var = |data|
+    cfg = _small_config(B)
+    sas = gsa(cfg)
+    rng = np.random.default_rng(11)
+
+    base = {
+        "e_amps": np.full((B, 1), COUNTS),
+        "i_amps": np.full((B, 1), COUNTS),
+        "noise_e": np.zeros((B, 1024)),
+        "noise_i": np.zeros((B, 1024)),
+        "e_data": np.zeros((B, 1024)),
+        "i_data": np.zeros((B, 1024)),
+    }
+    truth = ThomsonParams.create(cfg["parameters"], num_params=B, batch=True, activate=True)
+    probe_loss = LossFunction(dict(cfg, optimizer=dict(cfg["optimizer"], y_norm=False)), sas, base)
+    ThryE, ThryI, _, _ = jax.jit(probe_loss.ts_diag)(truth, base)
+    ThryE, ThryI = np.asarray(ThryE), np.asarray(ThryI)
+
+    batch = dict(base)
+    batch["e_data"] = ThryE + np.sqrt(np.maximum(ThryE, 1.0)) * rng.standard_normal(ThryE.shape)
+    batch["i_data"] = ThryI + np.sqrt(np.maximum(ThryI, 1.0)) * rng.standard_normal(ThryI.shape)
+
+    loss_fn = LossFunction(cfg, sas, batch)
+
+    # fit from a perturbed start through the production loss
+    cfg_start = _small_config(B)
+    cfg_start["parameters"]["electron"]["Te"]["val"] = 0.5
+    cfg_start["parameters"]["electron"]["ne"]["val"] = 0.25
+    cfg_start["parameters"]["electron"]["fe"]["params"]["m"]["val"] = 3.0
+    cfg_start["parameters"]["general"]["lam"]["val"] = 524.5
+    start = ThomsonParams.create(cfg_start["parameters"], num_params=B, batch=True, activate=True)
+    spec = get_filter_spec(cfg["parameters"], start)
+    diff0, static = partition(start, spec)
+    x0, unravel = ravel_pytree(diff0)
+
+    vg = jax.jit(jax.value_and_grad(lambda dp: loss_fn.__loss__(dp, static, batch)[0]))
+
+    def scipy_vg(x):
+        value, grads = vg(unravel(jnp.asarray(x)))
+        return float(value), np.asarray(ravel_pytree(grads)[0], dtype=np.float64)
+
+    res = minimize(scipy_vg, np.asarray(x0, np.float64), method="L-BFGS-B", jac=True,
+                   options={"maxiter": 300, "ftol": 1e-14, "gtol": 1e-12})
+    fitted = combine(unravel(jnp.asarray(res["x"])), static)
+
+    H = batch_flat_hessian(cfg, loss_fn, fitted, batch)
+    sigmas = get_sigmas(H, B)  # [B, P], leaf order; negative = non-optimal sign
+
+    x_fit = np.asarray(res["x"])
+    x_truth = np.asarray(ravel_pytree(partition(truth, spec)[0])[0])
+    P = x_fit.size // B
+    resid = np.abs(x_fit - x_truth).reshape(P, B).T  # [B, P]
+
+    assert np.all(np.isfinite(sigmas)), "non-finite sigmas"
+    assert np.all(np.abs(sigmas) > 0), "zeroed sigmas (silent Hessian failure)"
+    pulls = resid / np.abs(sigmas)
+    med = float(np.median(pulls))
+    # A calibrated pipeline gives median pull ~1 (chi distribution, 24 pulls);
+    # measured on this pinned seed: median 1.19 (range 0.05..158 — individual
+    # pulls vary because the FIT loss (uniform masked mean) and the HESSIAN
+    # loss (1/|data| weights) are different estimators).  The gate is
+    # generous — [0.1, 10] — because what it must catch is the failure
+    # classes above (pulls -> inf for zeroed sigmas, or off by >>10x).
+    assert 0.1 < med < 10.0, f"sigma miscalibration: median pull {med}, pulls {pulls}"
+
+
 def test_1d_inverse_device_lbfgs():
     import optax
 

@@ -1025,6 +1025,12 @@ class FormFactor:
             # path wins at EVERY production grid (bench fwd 42.5k -> 48.5k
             # spectra/s at nvx=64); the weight-matrix form below only won
             # pre-Pallas, and survives as the small-grid/CPU fallback.
+            # NOTE f64 (sigma-Hessian trace): a Hermite-GATHER variant
+            # (interp1d_cubic) was tried here and won at B=16 (hessian 19.4
+            # -> 16.9 s) but lost 2.5x at the whole-shot B=128 (417 vs ~165
+            # s) — its plain-AD scatter-add table cotangents scale badly on
+            # this host's scatter-averse XLA:CPU.  Blocked stays for every
+            # dtype; do not retry the gather form without B=128 numbers.
             lf = interp1d_cubic_blocked(xie, vx, log_fe)
             lf = jnp.where((xie < vx[0]) | (xie > vx[-1]), -50.0, lf)
         else:

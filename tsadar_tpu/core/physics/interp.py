@@ -145,6 +145,19 @@ def _onehot_dtype(parts):
 _BLOCK = 8  # in-context whole-shot step sweet spot on v5e (isolated sweeps mildly favor 16)
 
 
+def _block_for(f):
+    """Per-dtype block size for the blocked-interp formulation.
+
+    f64 only occurs in the CPU-destined sigma-Hessian traces, where the
+    dominant cost is materializing the [Q, nblk] one-hot (compare+convert)
+    plus the two [Q, block] within-segment selects — total width
+    nblk + 2*block = (n-1)/block + 2*block, minimized near block=sqrt(n/2).
+    For the 2043-entry chi_R tables block=32 cuts the width 272 -> 128.
+    The f32 (TPU) value is the measured end-to-end sweet spot — unchanged.
+    """
+    return 32 if f.dtype == jnp.float64 else _BLOCK
+
+
 @_jax.custom_vjp
 def interp1d_linear_blocked(xq, x, f):
     """Linear interpolation on a UNIFORM grid with NO hardware gather.
@@ -268,7 +281,7 @@ def _blocked_any_fwd(xq, x, f):
     """(out, diff=f[i0+1]-f[i0]) via the Pallas kernel on TPU, XLA elsewhere."""
     if _use_pallas2(xq, f):
         return _pallas2_fwd(xq, x, f)
-    out, (f0, f1) = _blocked_fwd_impl(xq, x, f, _BLOCK)
+    out, (f0, f1) = _blocked_fwd_impl(xq, x, f, _block_for(f))
     return out, f1 - f0
 
 
@@ -323,8 +336,8 @@ def _blocked_vjp_fwd(xq, x, f):
 
 
 def _blocked_vjp_bwd(res, g):
-    block = _BLOCK
     xq, x, f, diff = res
+    block = _block_for(f)
     n = x.shape[0]
     dx = x[1] - x[0]
     blk, lo, w, inside = _blocked_indices(xq, x, block)

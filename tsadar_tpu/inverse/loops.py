@@ -300,8 +300,15 @@ def _1d_adam_loop_(config: Dict, loss_fn: LossFunction, previous_weights, batch:
 
     if per_lineout:
         # the assembled params mix epochs per lineout; report their actual
-        # joint loss (one extra dispatch) rather than the scalar-best seen
+        # joint loss rather than the scalar-best seen.  This is ONE dispatch
+        # of compute but compiles loss_fn._loss_ — a program nothing else in
+        # the fit path builds (the scan inlines _vg_func_) — so on axon it
+        # costs a full compile/cache-load (~10-30 s warm).  Timed separately
+        # so E2E artifacts don't book it as step time.
+        t0 = time.time()
         best_loss, _ = loss_fn._loss_(best_dp, static_params, batch)
+        best_loss = float(best_loss)
+        mlflow.log_metrics({"fit_final_loss_time": round(time.time() - t0, 2)})
     return float(best_loss), combine(best_dp, static_params)
 
 
@@ -388,6 +395,7 @@ def one_d_loop(
 
 def angular_optax(config, all_data, sa):
     """ARTS fitting with any optax optimizer + early stopping (reference loops.py:167-275)."""
+    t_enter = time.time()
     config["optimizer"]["batch_size"] = 1
     config["data"]["lineouts"]["start"] = int(config["data"]["lineouts"]["start"] / config["other"]["ang_res_unit"])
     config["data"]["lineouts"]["end"] = int(config["data"]["lineouts"]["end"] / config["other"]["ang_res_unit"])
@@ -399,6 +407,9 @@ def angular_optax(config, all_data, sa):
         actual_data = batch1
 
     loss_fn = LossFunction(config, sa, batch1)
+    # diagnostic + 2V projection/PV table construction: host-side f64 work on
+    # the 1-core box, seconds-scale — attributed for the E2E_ARTS artifact
+    mlflow.log_metrics({"fit_lossfn_init_time": round(time.time() - t_enter, 2)})
     minimizer = getattr(optax, config["optimizer"]["method"])
     solver = minimizer(config["optimizer"]["learning_rate"])
 
@@ -459,12 +470,19 @@ def angular_optax(config, all_data, sa):
     num_epochs = config["optimizer"]["num_epochs"]
     i_epoch = start_epoch
     stop = False
+    first_dispatch = True
     while i_epoch < num_epochs and not stop:
         length = min(chunk, num_epochs - i_epoch)
+        t_chunk = time.time()
         diff_params, opt_state, best_loss_dev, best_dp, losses = run_chunk(
             diff_params, opt_state, best_loss_dev, best_dp, length
         )
         losses = np.asarray(losses)  # the chunk's one host sync
+        if first_dispatch:
+            # compile (or cache-load) + first chunk: the E2E artifacts gate
+            # this against warm/cold ceilings (see e2e_arts.py)
+            mlflow.log_metrics({"fit_first_dispatch_time": round(time.time() - t_chunk, 2)})
+            first_dispatch = False
         n_counted = length  # epochs the reference's per-epoch loop would reach
         for j in range(length):
             epoch_loss = float(losses[j])
