@@ -116,8 +116,7 @@ def main():
             ceiling = 60.0 if cache["cache_warm"] else 350.0
             checks["fit_compile_vs_cache_state"] = stages["fit_compile_s"] < ceiling
 
-    art_root = os.path.dirname(os.path.dirname(run_jsons[0])) if run_jsons else ""
-    art_dir = os.path.join(art_root, "artifacts")
+    art_dir = os.path.join(os.path.dirname(run_jsons[0]), "artifacts") if run_jsons else ""
     n_artifacts = len(glob.glob(os.path.join(art_dir, "**", "*.*"), recursive=True))
     checks["artifacts_produced"] = n_artifacts >= 8
 
@@ -131,18 +130,26 @@ def main():
             np.all(np.isfinite(sig)) and np.any(np.abs(sig) > 0)
         )
 
-    # recovered EDF plotted (the workload's deliverable: the distribution)
-    checks["dist_plot"] = bool(
-        glob.glob(os.path.join(art_dir, "**", "*dist*"), recursive=True)
-        or glob.glob(os.path.join(art_dir, "**", "*fe_*"), recursive=True)
+    # the workload's deliverables: fitted parameters + angular fit-vs-data
+    # visualizations + the netCDF dataset.  (No distribution_function.png for
+    # this deck: its EDF is DLM-parameterized — m is the fitted quantity and
+    # plot_dist is a documented no-op without a direct EDF array, matching
+    # the reference whose plot_dist would KeyError on a DLM angular fit.)
+    checks["learned_parameters_csv"] = bool(
+        glob.glob(os.path.join(art_dir, "csv", "learned_parameters.csv"))
     )
+    checks["angular_plots"] = bool(
+        glob.glob(os.path.join(art_dir, "plots", "angular_data_vs_fit.png"))
+        and glob.glob(os.path.join(art_dir, "plots", "angular_lineouts.png"))
+    )
+    checks["fit_dataset"] = bool(glob.glob(os.path.join(art_dir, "binary", "fit_and_data.nc")))
 
     ok = all(checks.values())
     print(
         json.dumps(
             {
                 "workload": f"e2e CLI ARTS fit: real ATS shot 94475, angular_optax adam"
-                f" x{N_EPOCHS} epochs (scanned chunks), angular sigma-Hessian + EDF plots",
+                f" x{N_EPOCHS} epochs (scanned chunks), angular sigma-Hessian + fit/data plots",
                 "platform": jax.default_backend(),
                 "ok": ok,
                 "total_s": round(total_s, 1),
