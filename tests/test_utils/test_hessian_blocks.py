@@ -42,3 +42,37 @@ def test_block_hessian_matches_dense():
     s_dense = get_sigmas(H_dense, B)
     assert_allclose(s_block, s_dense, rtol=1e-6)
     assert np.all(np.isfinite(s_block))
+
+
+def test_chunked_hessian_bit_exact():
+    """B > 16 batches evaluate as same-shape chunks of 16 lineouts through one
+    jitted executable (the whole-shot B=128 runs ~3x faster that way — the
+    unchunked program's per-lineout cost rises with batch as the f64 working
+    set leaves cache; docs/performance.md).  Each lineout's block must be
+    BIT-IDENTICAL to the block from a direct small-batch evaluation of the
+    same lineouts — chunking may never change the numbers."""
+    B32 = 32
+    cfg = _small_config(B32)
+    sas = get_scattering_angles(cfg)
+    batch = _make_batch(B32)
+    loss_fn = LossFunction(cfg, sas, batch)
+    ts = ThomsonParams.create(cfg["parameters"], num_params=B32, batch=True, activate=True)
+    H32 = batch_flat_hessian(cfg, loss_fn, ts, batch)  # 2 chunks of 16
+
+    import jax
+
+    B16 = 16
+    cfg16 = _small_config(B16)
+    batch16 = {k: v[:B16] for k, v in batch.items()}
+    loss16 = LossFunction(cfg16, sas, batch16)
+    ts16 = jax.tree_util.tree_map(
+        lambda a: a[:B16] if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == B32) else a,
+        ts,
+    )
+    H16 = batch_flat_hessian(cfg16, loss16, ts16, batch16)  # single chunk
+
+    P = H16.shape[0] // B16
+    for li in [0, 5, 15]:
+        b32 = H32[np.ix_(np.arange(P) * B32 + li, np.arange(P) * B32 + li)]
+        b16 = H16[np.ix_(np.arange(P) * B16 + li, np.arange(P) * B16 + li)]
+        assert np.array_equal(b32, b16), f"chunked block {li} deviates"
