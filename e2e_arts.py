@@ -112,8 +112,11 @@ def main():
             else None,
         }
         checks["stage_metrics_present"] = None not in stages.values()
+        # ceilings calibrated to the axon service's measured spread (warm
+        # load 8-219 s, cold compile 110-446 s; committed r5 artifact: 9.5 s
+        # warm) — see e2e_whole_shot.py for the full rationale
         if stages.get("fit_compile_s") is not None:
-            ceiling = 60.0 if cache["cache_warm"] else 350.0
+            ceiling = 250.0 if cache["cache_warm"] else 700.0
             checks["fit_compile_vs_cache_state"] = stages["fit_compile_s"] < ceiling
 
     art_dir = os.path.join(os.path.dirname(run_jsons[0]), "artifacts") if run_jsons else ""

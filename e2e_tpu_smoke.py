@@ -28,6 +28,11 @@ def main():
     os.environ.setdefault(
         "TSADAR_COMPILE_CACHE", os.path.join(os.path.expanduser("~"), ".tsadar_jax_cache")
     )
+    from tsadar_tpu.utils import cache_stats
+
+    cache_dir = os.environ["TSADAR_COMPILE_CACHE"]
+    cache_before = cache_stats.snapshot(cache_dir)
+
     workdir = tempfile.mkdtemp(prefix="tsadar_e2e_")
     runs_dir = os.path.join(workdir, "runs")
     os.environ["TSADAR_RUNS_DIR"] = runs_dir
@@ -59,6 +64,8 @@ def main():
     total_s = time.time() - t0
 
     import jax
+
+    cache = cache_stats.diff(cache_before, cache_dir)
 
     checks = {}
     csvs = glob.glob(os.path.join(runs_dir, "**", "learned_parameters.csv"), recursive=True)
@@ -109,6 +116,7 @@ def main():
         compile_s = last("fit_first_dispatch_time")
         lossfn_s = last("fit_lossfn_init_time")
         param_s = last("fit_param_init_time")
+        final_loss_s = last("fit_final_loss_time") or 0.0
         post_s = last("postprocess_time")
         fit_parts = (compile_s, lossfn_s, param_s)
         stages = {
@@ -116,7 +124,8 @@ def main():
             "fit_lossfn_init_s": lossfn_s,
             "fit_param_init_s": param_s,
             "fit_compile_s": compile_s,
-            "fit_steps_s": round(fit_s - sum(fit_parts), 2)
+            "fit_final_loss_s": final_loss_s,
+            "fit_steps_s": round(fit_s - sum(fit_parts) - final_loss_s, 2)
             if None not in (fit_s, *fit_parts)
             else None,
             "postprocess_s": post_s,
@@ -142,7 +151,14 @@ def main():
         if stages.get("fit_steps_s") is not None:
             checks["fit_steps_fast"] = stages["fit_steps_s"] < 25.0
         if stages.get("fit_compile_s") is not None:
-            checks["fit_compile_sane"] = stages["fit_compile_s"] < 350.0
+            # ceilings keyed on MEASURED cache state and calibrated to the
+            # axon compile service's measured spread (warm cached-executable
+            # LOAD 8-219 s, cold compile 110-446 s across windows — a tight
+            # fixed wall gates service noise, not regressions; the
+            # recompile-every-run r3 class is caught structurally by
+            # tests/test_utils/test_cache_stats.py instead)
+            ceiling = 250.0 if cache["cache_warm"] else 700.0
+            checks["fit_compile_vs_cache_state"] = stages["fit_compile_s"] < ceiling
 
     ok = all(checks.values())
     print(
@@ -157,6 +173,7 @@ def main():
                 "ne": ne,
             }
             | stages
+            | cache
             | ({} if ok else {"failed_checks": [k for k, v in checks.items() if not v]})
         )
     )

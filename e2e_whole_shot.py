@@ -170,12 +170,15 @@ def main():
             else None,
         }
         checks["stage_metrics_present"] = None not in stages.values()
-        # compile gate split by measured cache state (cache_warm: nothing new
-        # was compiled this run -> the wall is a cache LOAD, ceiling 60 s
-        # under tunnel-contention spread; anything that wrote new entries paid
-        # a real compile -> cold ceiling 350 s)
+        # compile gate split by MEASURED cache state (cache_warm: nothing new
+        # was compiled -> the wall is a cache LOAD).  Ceilings are calibrated
+        # to the axon compile service's measured spread (warm load 8-219 s,
+        # cold compile 110-446 s across windows — the committed r5 artifact
+        # measured 8.9-15 s warm); tighter fixed walls gate service noise,
+        # and the recompile-every-run r3 class is caught structurally by
+        # tests/test_utils/test_cache_stats.py.
         if stages.get("fit_compile_s") is not None:
-            ceiling = 60.0 if cache["cache_warm"] else 350.0
+            ceiling = 250.0 if cache["cache_warm"] else 700.0
             checks["fit_compile_vs_cache_state"] = stages["fit_compile_s"] < ceiling
 
     ok = all(checks.values())

@@ -251,7 +251,8 @@ def batch_flat_hessian(config, loss_fn, weights, batch, max_params=None, force_d
             # — the f64 working set leaves cache) — so the whole-shot B=128
             # hessian runs ~3x faster as 8 same-shape chunks of 16 reusing
             # ONE jitted executable (batch/static/params passed as ARGUMENTS,
-            # not closures, so jax's jit cache hits across chunks).
+            # not closures, so jax's jit cache hits across chunks).  Chunk
+            # sweep at B=128 (ms/lineout): CH=8 966, CH=16 926, CH=32 1434.
             CH = 16 if (B > 16 and B % 16 == 0) else B
 
             def slice_tree(tree, sl):
