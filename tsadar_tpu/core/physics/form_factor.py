@@ -39,7 +39,6 @@ import jax
 from . import ratint
 from .constants import C, ME_KEV, MP_KEV, RE_CM, PLASMA_FREQ_CONST
 from .interp import (
-    interp1d_cubic,
     interp1d_cubic_matmul,
     interp2d_cubic,
     interp1d_linear_uniform,
