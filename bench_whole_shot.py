@@ -165,6 +165,17 @@ def main():
     }
     quality_ok = all(gates.values())
 
+    # same-window contention probe (bench.PROBE_REF_MS): the shared chip's
+    # +-25% spread otherwise hides true cross-round regressions in fit_time
+    probe_ms = None
+    if jax.default_backend() == "tpu":
+        try:
+            from bench import PROBE_REF_MS, _contention_probe
+
+            probe_ms = _contention_probe()
+        except Exception:
+            probe_ms = None
+
     print(
         json.dumps(
             {
@@ -180,6 +191,14 @@ def main():
                 "worst_per_lineout_loss": float(np.max(row_loss)),
                 "quality_ok": quality_ok,
             }
+            | (
+                {
+                    "probe_matmul_ms": round(probe_ms, 3),
+                    "fit_time_s_normalized": round(fit_time * PROBE_REF_MS / probe_ms, 2),
+                }
+                if probe_ms
+                else {}
+            )
             | quality
             | ({} if quality_ok else {"failed_gates": [k for k, v in gates.items() if not v]})
         )
