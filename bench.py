@@ -235,10 +235,16 @@ def _contention_probe(repeats=3, chain=512):
 
     @jax.jit
     def f(x):
+        scale = jnp.bfloat16(2.0**-12)
+
         def body(_, y):
-            # data-dependent chain so XLA cannot collapse the loop; values
-            # stay bounded (row sums ~ 4096 * 1e-3 * y)
-            return y @ x + x
+            # data-dependent chain so XLA cannot collapse the loop.  The
+            # matmul grows y by ~4096*1e-3 = 4.1x per step, so rescale by
+            # 2^-12: net factor ~1e-3 keeps y pinned near x forever (an
+            # unscaled chain overflows bf16 to inf by step ~68 — inf still
+            # times at line rate on v5e, but a calibration op shouldn't rest
+            # on that).  The elementwise scale fuses into the add (~free).
+            return y @ x * scale + x
 
         return jax.lax.fori_loop(0, chain, body, x).sum()
 

@@ -108,9 +108,9 @@ def main():
     stages = {}
     run_jsons = glob.glob(os.path.join(runs_dir, "**", "run.json"), recursive=True)
     if run_jsons:
-        with open(run_jsons[0]) as f:
-            metrics = json.load(f).get("metrics", {})
-        last = lambda k: metrics[k][-1]["value"] if k in metrics else None
+        from tsadar_tpu.utils.e2e_stages import compile_gate, last_metric_reader
+
+        last, _ = last_metric_reader(run_jsons[0])
         setup_s = last("setup_time")
         fit_s = last("fit_time")
         compile_s = last("fit_first_dispatch_time")
@@ -151,14 +151,9 @@ def main():
         if stages.get("fit_steps_s") is not None:
             checks["fit_steps_fast"] = stages["fit_steps_s"] < 25.0
         if stages.get("fit_compile_s") is not None:
-            # ceilings keyed on MEASURED cache state and calibrated to the
-            # axon compile service's measured spread (warm cached-executable
-            # LOAD 8-219 s, cold compile 110-446 s across windows — a tight
-            # fixed wall gates service noise, not regressions; the
-            # recompile-every-run r3 class is caught structurally by
-            # tests/test_utils/test_cache_stats.py instead)
-            ceiling = 250.0 if cache["cache_warm"] else 700.0
-            checks["fit_compile_vs_cache_state"] = stages["fit_compile_s"] < ceiling
+            # ceilings keyed on MEASURED cache state; values + rationale in
+            # tsadar_tpu/utils/e2e_stages.py
+            checks["fit_compile_vs_cache_state"] = compile_gate(stages["fit_compile_s"], cache)
 
     ok = all(checks.values())
     print(

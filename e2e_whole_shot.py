@@ -139,9 +139,9 @@ def main():
     stages = {}
     run_jsons = glob.glob(os.path.join(runs_dir, "**", "run.json"), recursive=True)
     if run_jsons:
-        with open(run_jsons[0]) as f:
-            metrics = json.load(f).get("metrics", {})
-        last = lambda k: metrics[k][-1]["value"] if k in metrics else None
+        from tsadar_tpu.utils.e2e_stages import compile_gate, last_metric_reader
+
+        last, _ = last_metric_reader(run_jsons[0])
         setup_s = last("setup_time")
         fit_s = last("fit_time")
         compile_s = last("fit_first_dispatch_time")
@@ -171,15 +171,11 @@ def main():
         }
         checks["stage_metrics_present"] = None not in stages.values()
         # compile gate split by MEASURED cache state (cache_warm: nothing new
-        # was compiled -> the wall is a cache LOAD).  Ceilings are calibrated
-        # to the axon compile service's measured spread (warm load 8-219 s,
-        # cold compile 110-446 s across windows — the committed r5 artifact
-        # measured 8.9-15 s warm); tighter fixed walls gate service noise,
-        # and the recompile-every-run r3 class is caught structurally by
-        # tests/test_utils/test_cache_stats.py.
+        # was compiled -> the wall is a cache LOAD); ceilings + rationale
+        # live in tsadar_tpu/utils/e2e_stages.py.  The committed r5 artifact
+        # measured 8.9-15 s warm.
         if stages.get("fit_compile_s") is not None:
-            ceiling = 250.0 if cache["cache_warm"] else 700.0
-            checks["fit_compile_vs_cache_state"] = stages["fit_compile_s"] < ceiling
+            checks["fit_compile_vs_cache_state"] = compile_gate(stages["fit_compile_s"], cache)
 
     ok = all(checks.values())
     print(

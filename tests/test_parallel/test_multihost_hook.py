@@ -18,6 +18,7 @@ REPO = os.path.dirname(os.path.dirname(HERE))
 
 _PROBE = """
 import jax
+jax.config.update("jax_platforms", "cpu")  # env var alone can be overridden by the axon plugin
 calls = []
 jax.distributed.initialize = lambda *a, **k: calls.append(("init", a, k))
 import tsadar_tpu.runner

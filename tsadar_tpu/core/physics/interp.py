@@ -1239,11 +1239,12 @@ def _lin_pallas_vjp_bwd(res, g):
     cot = gq[:, None] * (
         (lo[:, None] == jj) * (1.0 - w[:, None]) + ((lo + 1)[:, None] == jj) * w[:, None]
     ).astype(f.dtype)
-    ch, cl = _bf16_split(cot, 2)
+    parts = _bf16_split(cot, 2)  # len-generic: [cot] unsplit for non-f32
     nblk = -(-(n - 1) // block)
-    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    D2 = jnp.matmul(onehot.T, jnp.concatenate([ch, cl], axis=-1), preferred_element_type=f.dtype)
-    dseg = D2[..., : block + 1] + D2[..., block + 1 :]
+    onehot = (blk[:, None] == jnp.arange(nblk, dtype=jnp.int32)[None, :]).astype(_onehot_dtype(parts))
+    D2 = jnp.matmul(onehot.T, jnp.concatenate(parts, axis=-1), preferred_element_type=f.dtype)
+    c1 = block + 1
+    dseg = sum(D2[..., k * c1 : (k + 1) * c1] for k in range(len(parts)))
     dfpad = jnp.concatenate([dseg[:, :block].reshape(-1), jnp.zeros((1,), f.dtype)], axis=-1)
     dfpad = dfpad.at[block::block].add(dseg[:, block])
     return dxq, jnp.zeros_like(x), dfpad[:n]

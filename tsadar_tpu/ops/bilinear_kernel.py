@@ -309,6 +309,11 @@ def tables_for_bilinear(tcat):
     """
     from ..core.physics.interp import _bf16_split
 
+    # the kernel layout encodes exactly 2 bf16 planes; _bf16_split is
+    # dtype-polymorphic (returns [x] unsplit for non-f32), so reject other
+    # dtypes loudly instead of mis-stacking (Pallas dispatch is f32-gated)
+    if tcat.dtype != jnp.float32:
+        raise TypeError(f"tables_for_bilinear requires f32 tables, got {tcat.dtype}")
     c = tcat.shape[-1]
     cpad = -c % 8
     if cpad:

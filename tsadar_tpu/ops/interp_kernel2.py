@@ -236,6 +236,10 @@ def segments_for_pallas2(f):
     """
     from ..core.physics.interp import _bf16_split, _blocked_segments
 
+    # kernel layout encodes exactly 3 bf16 planes; _bf16_split returns [x]
+    # unsplit for non-f32 (dtype-polymorphic) — reject those loudly
+    if f.dtype != jnp.float32:
+        raise TypeError(f"segments_for_pallas2 requires f32 tables, got {f.dtype}")
     n = f.shape[-1]
     seg, nblk = _blocked_segments(f, n, _BLK)  # [B, K, blk+1]
     segcat = jnp.concatenate(_bf16_split(seg, 3), axis=-1)  # [B, K, 3*(blk+1)]
@@ -453,6 +457,9 @@ def cubic_segments_for_pallas2(f):
     """
     from ..core.physics.interp import _bf16_split, _cubic_blocked_segments
 
+    # same 3-plane layout contract as segments_for_pallas2
+    if f.dtype != jnp.float32:
+        raise TypeError(f"cubic_segments_for_pallas2 requires f32 tables, got {f.dtype}")
     n = f.shape[-1]
     seg, nblk = _cubic_blocked_segments(f, n, _BLK)  # [B, K, blk+3]
     segcat = jnp.concatenate(_bf16_split(seg, 3), axis=-1)  # [B, K, 3*(blk+3)]

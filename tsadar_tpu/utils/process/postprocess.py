@@ -255,6 +255,14 @@ def batch_flat_hessian(config, loss_fn, weights, batch, max_params=None, force_d
             # sweep at B=128 (ms/lineout): CH=8 966, CH=16 926, CH=32 1434.
             CH = 16 if (B > 16 and B % 16 == 0) else B
 
+            # slice every leaf whose LEADING axis is the lineout batch.  This
+            # is a shape-keyed heuristic: it relies on the invariant that in
+            # the 1D path every [B, ...]-leading leaf of the params/batch
+            # trees IS per-lineout (data rows, per-lineout scalars, batched
+            # velocity grids) and nothing else coincidentally leads with B.
+            # The x_c size assertion below catches diff-side violations; a
+            # new non-per-lineout static leaf with leading dim == B would
+            # need an explicit exclusion here.
             def slice_tree(tree, sl):
                 return jax.tree_util.tree_map(
                     lambda a: a[sl]
@@ -287,6 +295,10 @@ def batch_flat_hessian(config, loss_fn, weights, batch, max_params=None, force_d
             for s in range(B // CH):
                 sl = slice(s * CH, (s + 1) * CH)
                 x_c, _ = ravel_pytree(slice_tree(diff, sl))
+                assert x_c.size == n_active * CH, (
+                    f"chunk slice produced {x_c.size} params, expected {n_active * CH} "
+                    "(a diff leaf was not sliced per-lineout)"
+                )
                 rows = np.asarray(
                     hvp_rows_j(x_c, basis_c, slice_tree(static, sl), slice_tree(batch64, sl))
                 )  # [n_active, n_active*CH]; rows[p, q*CH + i] = d2L/dx[p,i]dx[q,i]
