@@ -145,7 +145,7 @@ def main():
         # the 25 s ceiling catches step-rate regressions without flaking on
         # cold windows.  fit_compile catches the recompile-every-run failure
         # mode (the r3 cache-key bug measured 437 s; cold one-time compile
-        # is 110-140 s, warm cached-executable load 8-219 s measured under tunnel
+        # is 110-140 s, warm cached-executable load 8-594 s measured under tunnel
         # contention).
         checks["stage_metrics_present"] = None not in stages.values()
         if stages.get("fit_steps_s") is not None:

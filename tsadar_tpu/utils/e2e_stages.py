@@ -5,16 +5,21 @@ tracker's ``run.json``, resolve stage wall-clocks, and gate the fit compile
 against cache-state-keyed ceilings — keeping the ceilings and the extraction
 in ONE place prevents the three scripts drifting apart (they once did).
 
-Ceilings are sized to the axon compile service's MEASURED spread — warm
-cache-LOADs of identical programs ranged 8-219 s, cold compiles 110-446 s
-across windows — so tighter walls would gate service noise, not regressions.
-The recompile-every-run regression class (the r3 cache-key flap) is caught
-structurally by ``tests/test_utils/test_cache_stats.py`` instead.
+The gate design follows the axon compile service's MEASURED spread: warm
+cache-LOADs of identical programs ranged 8-594 s (a 594 s load of a
+0-new-entries run was observed live during round-5 validation) and cold
+compiles 110-446 s across windows.  A warm WALL-CLOCK ceiling therefore has
+no discriminating power — the regression it would hope to catch
+(recompile-every-run, the r3 cache-key flap) is already caught STRUCTURALLY:
+by ``cache_new_entries == 0`` on identical reruns
+(``tests/test_utils/test_cache_stats.py``) and by the ``cache_warm`` field
+every artifact records.  So warm runs pass the compile gate unconditionally
+(the load time is still reported), and only genuinely-cold compiles carry a
+generous runaway ceiling.
 """
 
 import json
 
-WARM_COMPILE_CEILING_S = 250.0
 COLD_COMPILE_CEILING_S = 700.0
 
 
@@ -30,6 +35,12 @@ def last_metric_reader(run_json_path):
 
 
 def compile_gate(fit_compile_s, cache):
-    """Whether the measured first-dispatch wall passes its cache-state ceiling."""
-    ceiling = WARM_COMPILE_CEILING_S if cache.get("cache_warm") else COLD_COMPILE_CEILING_S
-    return fit_compile_s < ceiling
+    """Whether the measured first-dispatch wall passes its cache-state gate.
+
+    Warm (nothing newly compiled): always passes — the wall is a service-side
+    cache load with a measured 8-594 s ambient spread, and the structural
+    cache checks above cover the real regression class.  Cold: a generous
+    runaway ceiling."""
+    if cache.get("cache_warm"):
+        return True
+    return fit_compile_s < COLD_COMPILE_CEILING_S
